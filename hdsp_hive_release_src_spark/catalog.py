@@ -1,0 +1,66 @@
+"""Table catalog: maps logical table names → parquet-backed DataFrames.
+
+This is the Spark-idiomatic analog of the reference's Hive metastore
+(reference is a Hive release fork, /root/reference/README.md:1-4): a
+named-table registry over columnar files. Scans stay declarative so
+Catalyst applies column pruning + predicate pushdown at the parquet
+reader (asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: tables that are always small relative to the fact tables at any SF —
+#: join planners should broadcast these (SURVEY.md §4).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Lazy per-sf_dir table registry."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(
+                f"{self.sf_dir}/{name}.parquet"
+            )
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Expose tables as temp views for spark.sql() queries."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    cat = Catalog(spark, sf_dir)
+    return [cat.table(n) for n in names]

@@ -1,0 +1,6 @@
+from hdsp_hive_release_src_spark.plans.asserts import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    has_cartesian,
+    pushed_filters,
+)

@@ -1,0 +1,49 @@
+"""Tuned SparkSession factory.
+
+Scale posture (see SURVEY.md §4): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), UTC session timezone (oracle parity),
+Arrow for any Python-edge exchange, shuffle partitions sized to the
+machine (cluster deployments override via ``SPARK_GRAFT_SHUFFLE``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hdsp-hive-release-src-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for OLAP workloads."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dims at any realistic SF stay well under this; lineitem never does
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Pin the confs value-comparison against DuckDB depends on, on a
+    session we did not build (e.g. the driver's)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
