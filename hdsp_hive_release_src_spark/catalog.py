@@ -45,10 +45,26 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(
-                f"{self.sf_dir}/{name}.parquet"
-            )
+            path = f"{self.sf_dir}/{name}.parquet"
+            if name == "events":
+                df = self._read_events(path)
+            else:
+                df = self.spark.read.parquet(path)
+            self._cache[name] = df
         return self._cache[name]
+
+    def _read_events(self, path: str):
+        """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        reader rejects; read nanos as long and floor-convert to a
+        microsecond timestamp (`div` = integer division — double math
+        would lose precision on epoch-nanos magnitudes)."""
+        from pyspark.sql import functions as F
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

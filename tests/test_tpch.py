@@ -17,7 +17,7 @@ from hdsp_hive_release_src_spark.plans import (
 
 registry.load_all()
 
-TPCH = [n for n in registry.QUERIES if n.startswith("q")]
+TPCH = [n for n in registry.ORACLES]
 
 
 @pytest.mark.parametrize("name", TPCH)
