@@ -1,1 +1,634 @@
-"""placeholder — filled in during round 1."""
+"""SURVEY.md §2.4 — LLM-training-data pipeline operators, first-class.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search (brute-force + LSH ANN), text analysis (quality, lang-ID, token
+counts, fingerprints), multimodal binary-column plumbing.
+
+Scale shapes (SURVEY.md §4): pairwise operators NEVER cross-join the
+corpus — candidates come from an inverted index (shared shingle), LSH
+band buckets, or hyperplane buckets, then are verified with exact
+measures. The only intentional cross join is the small-bounded exact
+cosine oracle twin (`embedding_cosine_pairs`) whose scale path is
+`ann_lsh_topk`.
+
+Float determinism: all vector math casts float32→double *before*
+multiplying and folds sums sequentially (functions/vectors.py); ratios
+are int/int; every emitted float is rounded and thresholds sit in
+measured gaps of the data's similarity distribution (0.07 < gap < 0.9
+for Jaccard; cosine max ≈ 0.55 with τ = 0.45 applied to the rounded
+value) so an ulp of divergence cannot flip row membership.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.functions.hashing import (
+    band_hashes,
+    minhash_signature,
+    word_shingles,
+)
+from hdsp_hive_release_src_spark.functions.text import (
+    LANG_STOPWORDS,
+    sql_in_list,
+    stopword_hits,
+)
+from hdsp_hive_release_src_spark.functions.vectors import (
+    cosine_similarity,
+    l2_norm,
+    to_double,
+)
+from hdsp_hive_release_src_spark.registry import query
+
+B = F.broadcast
+
+# DuckDB fragment: distinct word-3-gram shingles of documents.text
+_DUCK_SHINGLES = """
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(grams) AS g FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) < 3 THEN []
+                    ELSE list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               END AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_DUCK_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+    ORDER BY d1, d2
+"""
+
+
+# ------------------------------------------------------------ dedup family
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep min doc_id.
+    One shuffle on the digest; at 100 TB this is the cheapest possible
+    exact dedup (no sort, partial agg combines map-side)."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-shingle inverted index → candidate pairs → exact Jaccard.
+
+    Shuffle keys: shingle (index build), then (d1, d2) (pair agg) —
+    never a cross join. At 100 TB add a document-frequency cap on
+    shingles (drop g with df > k) to bound hot-key fan-out before the
+    self-join; the planted near-dup structure keeps this exact here.
+    """
+    d = Catalog(spark, sf_dir).documents
+    sh = d.select("doc_id", word_shingles("text").alias("sh"))
+    sized = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.where(jac >= 0.5)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard ≥ 0.5 (exact measure,
+    inverted-index candidates)."""
+    return _jaccard_pairs_exact(spark, sf_dir)
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_PAIRS_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16×4 banded LSH candidates, exact-Jaccard verified.
+
+    Same oracle as the exact query: at τ=0.5 with the data's minimum
+    true-pair similarity ≈0.9, per-pair miss probability is
+    (1-0.9⁴)¹⁶ ≈ 3e-8 — the LSH path is expected to reproduce the
+    exact result while scanning candidate buckets only. This is the
+    100 TB near-dup path: cost is O(docs × bands), not O(pairs).
+    """
+    d = Catalog(spark, sf_dir).documents
+    sh = d.select("doc_id", word_shingles("text").alias("sh")).where(
+        F.size("sh") > 0
+    )
+    sig = sh.select(
+        "doc_id", "sh", minhash_signature("sh", 64).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_hashes(F.col("sig"), bands=16, rows=4)).alias(
+            "band", "bh"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    verified = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+        )
+        .where(F.col("jac") >= 0.5)
+    )
+    return verified.select(
+        "d1", "d2", F.round("jac", 6).alias("jaccard")
+    ).orderBy("d1", "d2")
+
+
+@query("dedup_simhash")  # xxhash64-defined bit pattern → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming ≤ 8), banded 4×16 bits.
+
+    Bit votes aggregate in one pass over exploded tokens (64 CASE
+    sums); pairs come from band buckets and are verified with exact
+    bit_count(xor) — scale cost O(docs) + O(bucket pairs).
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)
+                       if i < 63 else F.lit(-(1 << 63)).cast("long"))
+                .otherwise(0)
+                for i in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(f"(simhash >> {16 * j}) & 65535").alias("bh"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 8)
+    )
+    return pairs.orderBy("d1", "d2")
+
+
+# ----------------------------------------------------- similarity search
+
+_DUCK_COSINE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e)
+"""
+
+
+@query(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_DUCK_COSINE}
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, 65),
+          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.45
+    ORDER BY v1, v2
+    """,
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine ≥ 0.45 near-dup pairs. Intentionally the
+    exact O(n²) baseline (oracle-matched); `ann_lsh_topk` is the
+    bucketed scale path."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", to_double("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.round(
+        cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.45)
+        .orderBy("v1", "v2")
+    )
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH {_DUCK_COSINE},
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos
+      FROM q JOIN n c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cos,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 5):
+    broadcast the queries, scan the corpus once, per-query top-K via
+    window on the rounded score (ties broken by id — deterministic
+    across engines)."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", to_double("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    q = n.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        n.join(B(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"), F.col("v"), lambda x, y: x * y
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 —
+    reproducible across sessions without RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@query("ann_lsh_topk")  # bucket membership is hash-defined → rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 4 sign bits → 16 buckets (sized so a
+    500-vector corpus still yields ~30 bucket-mates per query); top-10
+    per query within its bucket only. The 100 TB path: candidate set
+    per query is |bucket|, not |corpus|; recall and bucket fan-out tune
+    with plane count / multi-probe."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", to_double("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    planes = _hyperplanes()
+    bucket = sum(
+        [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(0)
+            for p, plane in enumerate(planes)
+        ]
+    )
+    nb = n.withColumn("bucket", bucket.cast("long"))
+    q = nb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        nb.join(
+            B(q),
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+# -------------------------------------------------------- text analysis
+
+_EN = LANG_STOPWORDS["en"]
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_ratio,
+           round(len(list_filter(ws, t -> t IN ({sql_in_list(_EN)})))
+                 * 1.0 / len(ws), 6) AS stopword_ratio,
+           round(0.4 * (len(list_distinct(ws)) * 1.0 / len(ws))
+                 + 0.3 * least(len(ws) / 100.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(ws,
+                       t -> t IN ({sql_in_list(_EN)}))) * 1.0 / len(ws)),
+                 6) AS quality_score
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: lexical diversity, length saturation,
+    stopword density — all codegen expressions, int/int ratios (bit-
+    identical across engines)."""
+    d = Catalog(spark, sf_dir).documents
+    ws = F.split("text", " ")
+    n_tok = F.size(ws)
+    distinct_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.expr(stopword_hits("split(text, ' ')", _EN)) * F.lit(1.0) / n_tok
+    )
+    score = (
+        0.4 * distinct_ratio
+        + 0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def _langid_case_sql(hit_exprs: dict[str, str]) -> str:
+    best = f"greatest({', '.join(hit_exprs.values())})"
+    whens = " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'"
+        for lang, expr in hit_exprs.items()
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} END"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_langid_case_sql({lang: f"len(list_filter(ws, t -> t IN ({sql_in_list(words)})))" for lang, words in LANG_STOPWORDS.items()})}
+               AS lang_pred
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit heuristic language ID (argmax over 5 mini
+    inventories, priority-ordered ties, 'und' when no hits)."""
+    d = Catalog(spark, sf_dir).documents
+    hit_exprs = {
+        lang: stopword_hits("split(text, ' ')", words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    return d.select(
+        "doc_id",
+        "lang",
+        F.expr(_langid_case_sql(hit_exprs)).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS re_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    ([a-z0-9]+ runs)."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(grams), '|')) AS fingerprint
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             END AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over the sorted distinct
+    shingle set — stable under token reordering within shingle
+    granularity (winnowing-style dedup key)."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", F.array_sort(word_shingles("text")))
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ multimodal stub
+
+@query("multimodal_meta")  # binary decode plumbing → rows-only check
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + typed
+    metadata, decoded feature-extraction via mapInPandas (Arrow
+    batches).
+
+    The payload here is the utf-8 encoding of `text` (the container has
+    no image/audio libs — TESTDATA has no media column); the decode
+    step is a deterministic stand-in (byte-mean 'embedding' stat) with
+    the REAL structure: binary column in Arrow batches → per-batch
+    vectorized numpy → typed feature columns out. Swapping the stand-in
+    for PIL/librosa decode changes only the inner function.
+    """
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).documents
+    with_payload = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length("text").cast("long").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+    def decode_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feat_mean = payloads.map(
+                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean())
+                if len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "feat_mean": feat_mean.round(6),
+                }
+            )
+
+    out_schema = (
+        "doc_id long, mime string, n_bytes long, feat_mean double"
+    )
+    return with_payload.mapInPandas(decode_batches, out_schema).orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,147 @@
+"""Unit tests for composable operators + function library (§2.3/§2.4),
+including regressions for the PySpark lambda-aliasing pitfall."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    from hdsp_hive_release_src_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "t": [5, 10, 15, 3, 9], "lv": list("abcde")}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2, 3], "rt": [4, 10, 50, 1], "rv": [100, 200, 300, 400]}
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_on="t",
+            right_on="rt",
+            by_left="k",
+            by_right="k",
+            value_cols=["rv"],
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        left_by="k",
+        right_by="k",
+        direction="backward",
+    ).sort_values(["k", "t"])
+    assert list(got["rv_right"].fillna(-1)) == list(
+        expected["rv"].fillna(-1)
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    from hdsp_hive_release_src_spark.operators.sessionize import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:29:59", 2),  # < 30min gap: same session
+        (1, "2024-01-01 01:00:00", 3),  # 30:01 gap: new session
+        (2, "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts_s string, event_id int"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_minhash_slots_are_distinct(spark):
+    """Regression: python-lambda transform collapsed all seeds into one
+    expression — every signature slot was identical."""
+    from hdsp_hive_release_src_spark.functions.hashing import (
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame([(["aa", "bb", "cc", "dd"],)], "sh array<string>")
+    sig = df.select(minhash_signature("sh", 16).alias("sig")).collect()[0].sig
+    assert len(set(sig)) > 8, f"degenerate signature: {sig}"
+
+
+def test_minhash_agreement_tracks_jaccard(spark):
+    from hdsp_hive_release_src_spark.functions.hashing import (
+        minhash_signature,
+    )
+
+    a = [f"s{i}" for i in range(40)]
+    b = a[:36] + ["x1", "x2", "x3", "x4"]  # jaccard = 36/44 ≈ 0.82
+    df = spark.createDataFrame([(1, a), (2, b)], "id int, sh array<string>")
+    sigs = {
+        r.id: r.sig
+        for r in df.select(
+            "id", minhash_signature("sh", 64).alias("sig")
+        ).collect()
+    }
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 64
+    assert 0.6 < agree < 0.95, agree
+
+
+def test_ann_lsh_buckets_are_diverse(spark):
+    """Regression guard: hyperplane buckets must actually partition the
+    corpus (not collapse to one value via expression aliasing)."""
+    from hdsp_hive_release_src_spark.queries.llm import _hyperplanes
+    from hdsp_hive_release_src_spark.functions.vectors import to_double
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = e.select("vec_id", to_double("embedding").alias("v"))
+    planes = _hyperplanes()
+    bucket = sum(
+        [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(0)
+            for p, plane in enumerate(planes)
+        ]
+    )
+    n_buckets = v.select(bucket.alias("b")).distinct().count()
+    assert n_buckets >= 8, n_buckets
+
+
+def test_cosine_self_similarity(spark):
+    from hdsp_hive_release_src_spark.functions.vectors import (
+        cosine_similarity,
+        to_double,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = e.select(to_double("embedding").alias("v")).limit(5)
+    got = v.select(
+        F.round(cosine_similarity(F.col("v"), F.col("v")), 9).alias("c")
+    ).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in got)
+
+
+def test_word_shingles_short_doc_guard(spark):
+    from hdsp_hive_release_src_spark.functions.hashing import word_shingles
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b c",), ("a b c d",)], "text string"
+    )
+    got = df.select(F.size(word_shingles("text")).alias("n")).collect()
+    assert [r.n for r in got] == [0, 1, 2]
