@@ -1,0 +1,96 @@
+"""SURVEY.md §2.5 — source/sink round-trip queries.
+
+Each writes a table out in another format (or partitioned layout),
+reads it back, and aggregates — the oracle runs on the ORIGINAL
+parquet, so any loss/corruption in the round trip breaks value parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import (
+    roundtrip_csv,
+    roundtrip_json,
+    write_partitioned,
+)
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT p_type, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_type ORDER BY p_type
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → csv → read back (explicit schema) → aggregate."""
+    p = Catalog(spark, sf_dir).part
+    back = roundtrip_csv(p, "csv_part", sf_dir)
+    return (
+        back.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_order_us
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → json lines → read back (explicit schema; timestamps
+    survive via ISO-8601) → aggregate."""
+    o = Catalog(spark, sf_dir).orders
+    back = roundtrip_json(o, "json_orders", sf_dir)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # parquet stores o_orderdate as NTZ; cast → LTZ (UTC session)
+            # before unix_micros
+            F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+            .cast("long")
+            .alias("first_order_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "partitioned_sink_prune",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → parquet partitioned by l_returnflag → read back
+    filtering one partition. The filter must prune at the file-listing
+    level (asserted in tests/test_sources.py), reading 1/3 of the data
+    — the mechanism that makes a 100 TB table queryable by date/flag."""
+    li = Catalog(spark, sf_dir).lineitem
+    path = write_partitioned(li, "l_returnflag", "part_lineitem", sf_dir)
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1,0 +1,81 @@
+"""SURVEY.md §2.3 — streaming operators as driver-checkable queries.
+
+These run a real Structured Streaming job to completion (memory sink,
+processAllAvailable) and return the materialized result. Where the
+streaming semantics are batch-equivalent over a finite input
+(complete-mode window aggs, dedup-then-count), the DuckDB oracle checks
+FULL value parity with the batch definition — stronger than the usual
+rows-only check for streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.streaming import jobs
+
+
+@query(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY day, event_type ORDER BY day, event_type
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-day counts ≡ batch day buckets (UTC epoch-
+    aligned windows make window.start == date_trunc('day'))."""
+    return jobs.windowed_counts(spark, sf_dir).orderBy("day", "event_type")
+
+
+@query(
+    "stream_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                  event_id) AS gap_us
+      FROM events
+    ), tagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM tagged
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session_window(30 min) ≡ batch gap sessions.
+    Boundary note: session_window closes at gap >= threshold (window is
+    [start, last+gap)), so the oracle uses >= where the batch
+    `sessionization` query uses > — distinguishable only by an exact-
+    to-the-microsecond 30:00.000000 gap."""
+    return jobs.session_windows(spark, sf_dir).orderBy(
+        "user_id", "start_us"
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates ≡ batch COUNT(DISTINCT) after the
+    order-insensitive rollup."""
+    return jobs.stream_distinct(spark, sf_dir)

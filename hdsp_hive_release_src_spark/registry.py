@@ -41,5 +41,7 @@ def load_all() -> None:
         analytics,
         events,
         llm,
+        sources,
+        streaming,
         tpch,
     )

@@ -1,0 +1,61 @@
+"""Format round-trips and partitioned sinks.
+
+Scratch outputs live under ``<repo>/_scratch`` (gitignored) — the
+sandbox forbids writes outside the repo. Writes are mode=overwrite so
+round-trip queries are idempotent across driver re-runs.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+SCRATCH = Path(
+    os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/_scratch")
+)
+
+
+def scratch_path(tag: str, sf_dir: str) -> str:
+    sf = Path(sf_dir.rstrip("/")).name
+    return str(SCRATCH / f"{tag}_{sf}")
+
+
+def roundtrip_csv(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
+    """parquet → csv (header) → read back with the SAME explicit schema
+    (never inferSchema in a pipeline — schema drift at 100 TB must fail
+    loudly, not silently re-type)."""
+    path = scratch_path(tag, sf_dir)
+    df.write.mode("overwrite").option("header", True).csv(path)
+    spark = df.sparkSession
+    return spark.read.schema(df.schema).option("header", True).csv(path)
+
+
+def roundtrip_json(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
+    path = scratch_path(tag, sf_dir)
+    df.write.mode("overwrite").json(path)
+    spark = df.sparkSession
+    return spark.read.schema(df.schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, partition_col: str, tag: str, sf_dir: str
+) -> str:
+    """Hive-style partitioned parquet sink (dt=value directories) —
+    the layout that makes partition pruning work on read."""
+    path = scratch_path(tag, sf_dir)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return path
+
+
+def try_ext_connector(spark: SparkSession, fmt: str):
+    """Delta/Iceberg/Hudi/JDBC need jars not present in this image;
+    surface a clear capability error instead of a classpath stack."""
+    known = {"delta", "iceberg", "hudi", "jdbc"}
+    if fmt in known:
+        raise NotImplementedError(
+            f"connector {fmt!r} requires external jars not bundled here; "
+            f"add the package to spark.jars.packages and retry"
+        )
+    raise ValueError(f"unknown external format {fmt!r}")

@@ -1,0 +1,114 @@
+"""Structured Streaming jobs, driven to completion over the file source.
+
+Each job reads the events parquet as a stream (exactly the pattern a
+Kafka-backed deployment would use — swap ``readStream.parquet`` for
+``readStream.format("kafka")``), runs a stateful operator (tumbling
+window / session window / dedup), sinks to an in-memory table with
+``processAllAvailable()``, and returns the materialized result as a
+batch DataFrame.
+
+Batch-equivalence: with the whole dataset processed, complete-mode
+results must equal the corresponding batch query — which is exactly
+what the DuckDB oracles check (streaming ops with batch-equal
+semantics get FULL oracles here, not rows-only).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table (nanos ts → microsecond timestamp, same
+    normalization as the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source requires a directory; glob-filter the
+    # one table out of the shared sf_dir
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    agg: DataFrame, output_mode: str, prefix: str
+) -> tuple[str, "SparkSession"]:
+    """Start agg → memory sink, drain all available input, stop.
+    Returns the (unique) sink table name."""
+    name = f"{prefix}_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type (complete mode ≡ batch)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = run_to_memory(agg, "complete", "stream_win")
+    return spark.table(name).select(
+        F.col("w.start").alias("day"), "event_type", "n", "total_value"
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user — the streaming twin
+    of operators/sessionize.py."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = run_to_memory(agg, "complete", "stream_sess")
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.unix_micros("sw.start").cast("long").alias("start_us"),
+    )
+
+
+def stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) → per-type distinct-user
+    counts (dropDuplicates keeps first arrival; the projection makes
+    the result order-insensitive)."""
+    ev = read_events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = run_to_memory(dedup, "append", "stream_dedup")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
