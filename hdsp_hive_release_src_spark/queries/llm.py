@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.functions.hashing import (
-    band_hashes,
-    minhash_signature,
+    band_hashes_sql,
+    minhash_sql,
     word_shingles,
+    word_shingles_sql,
 )
 from hdsp_hive_release_src_spark.functions.text import (
     LANG_STOPWORDS,
@@ -45,6 +46,15 @@ from hdsp_hive_release_src_spark.functions.vectors import (
 from hdsp_hive_release_src_spark.registry import query
 
 B = F.broadcast
+
+
+def _parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents arrives as one parquet file → one input split; CPU-bound
+    per-row pipelines (shingling, hashing) must fan out across cores
+    first. On a many-file 100 TB table this repartition is a no-op
+    decision, locally it is the difference between 1 and 32 tasks."""
+    d = Catalog(spark, sf_dir).documents
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 # DuckDB fragment: distinct word-3-gram shingles of documents.text
 _DUCK_SHINGLES = """
@@ -107,7 +117,7 @@ def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (drop g with df > k) to bound hot-key fan-out before the
     self-join; the planted near-dup structure keeps this exact here.
     """
-    d = Catalog(spark, sf_dir).documents
+    d = _parallel_docs(spark, sf_dir)
     sh = d.select("doc_id", word_shingles("text").alias("sh"))
     sized = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
     a, b = sized.alias("a"), sized.alias("b")
@@ -150,18 +160,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact result while scanning candidate buckets only. This is the
     100 TB near-dup path: cost is O(docs × bands), not O(pairs).
     """
-    d = Catalog(spark, sf_dir).documents
+    d = _parallel_docs(spark, sf_dir)
     sh = d.select("doc_id", word_shingles("text").alias("sh")).where(
         F.size("sh") > 0
     )
-    sig = sh.select(
-        "doc_id", "sh", minhash_signature("sh", 64).alias("sig")
+    # shingles -> signature -> band hashes composed as ONE nested-bound
+    # expression: each stage evaluated exactly once per row
+    bands_expr = band_hashes_sql(
+        minhash_sql(word_shingles_sql("text"), 64), bands=16, rows=4
     )
-    banded = sig.select(
+    banded = d.select(
         "doc_id",
-        F.posexplode(band_hashes(F.col("sig"), bands=16, rows=4)).alias(
-            "band", "bh"
-        ),
+        F.posexplode(F.expr(bands_expr)).alias("band", "bh"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -202,7 +212,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums); pairs come from band buckets and are verified with exact
     bit_count(xor) — scale cost O(docs) + O(bucket pairs).
     """
-    d = Catalog(spark, sf_dir).documents
+    d = _parallel_docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).where(F.col("t") != "")
