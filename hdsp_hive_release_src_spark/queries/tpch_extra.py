@@ -1,0 +1,240 @@
+"""SURVEY.md §2.1 continued — the remaining TPC-H-expressible queries
+(Q15/Q17/Q20/Q21 shapes, adapted: no partsupp/commit/receipt columns)
+plus a MERGE-INTO/SCD upsert emulation (Hive ACID's MERGE re-expressed
+as anti-join + union — the Delta-less idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+B = F.broadcast
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue (view + scalar-max
+    subquery; the revenue agg is computed once and reused)."""
+    cat = Catalog(spark, sf_dir)
+    revenue = (
+        cat.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_rev"))
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    return (
+        revenue.join(B(max_rev))
+        .where(F.col("total_rev") == F.col("m"))
+        .join(B(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg subquery → pre-aggregated per-part avg
+    joined back (one extra shuffle on partkey instead of a per-row
+    subquery — the only plan that works at scale)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    part = cat.part.where(F.col("p_brand") == "Brand#5").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(B(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty.withColumnRenamed("l_partkey", "ap_k"),
+              li.l_partkey == F.col("ap_k"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q20_promo_shippers",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 400)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved significant PROMO volume in
+    a year (IN-subquery with HAVING → aggregate + semi join)."""
+    cat = Catalog(spark, sf_dir)
+    promo = cat.part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        cat.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(B(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        cat.supplier.join(
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    sole AS (
+      SELECT lt.l_orderkey, lt.l_suppkey
+      FROM late lt JOIN multi USING (l_orderkey)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM late lt2
+        WHERE lt2.l_orderkey = lt.l_orderkey
+          AND lt2.l_suppkey <> lt.l_suppkey))
+    SELECT s_name, count(*) AS numwait
+    FROM sole JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late = shipped >60d after order): suppliers who
+    were the ONLY late shipper on multi-supplier orders. EXISTS/NOT
+    EXISTS pair → per-order late-supplier counts, filter count == 1 —
+    one aggregation replaces two correlated subqueries."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.join(cat.orders, li.l_orderkey == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.join(multi, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.max("l_suppkey").alias("the_suppkey"),
+        )
+        .where(F.col("n_late") == 1)
+    )
+    return (
+        sole.join(
+            B(cat.supplier), F.col("the_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+    source AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    merged AS (
+      SELECT * FROM source
+      UNION ALL
+      SELECT t.* FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM source s
+                        WHERE s.o_orderkey = t.o_orderkey))
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (Hive ACID / Delta-less idiom): source rows
+    win, unmatched target rows survive — anti-join + union, one shuffle
+    on the merge key. Overlap window ('98–'99) exercises both the
+    update and insert arms."""
+    o = Catalog(spark, sf_dir).orders
+    target = o.where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    source = o.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    survivors = target.join(source, "o_orderkey", "left_anti")
+    merged = source.unionByName(survivors)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

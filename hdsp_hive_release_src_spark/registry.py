@@ -40,8 +40,10 @@ def load_all() -> None:
     from hdsp_hive_release_src_spark.queries import (  # noqa: F401
         analytics,
         events,
+        functions_suite,
         llm,
         sources,
         streaming,
         tpch,
+        tpch_extra,
     )

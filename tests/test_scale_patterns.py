@@ -1,0 +1,91 @@
+"""Scale-pattern correctness + plan shape: salted joins, bucketed
+co-located joins, broadcast thresholds (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark):
+    from hdsp_hive_release_src_spark.operators.skew import salted_join
+
+    # skewed left: one hot key with 5k rows, 100 cold keys
+    left = spark.range(5000).select(
+        F.lit(7).alias("k"), F.col("id").alias("lv")
+    ).unionByName(
+        spark.range(100).select(
+            (F.col("id") + 100).alias("k"), F.col("id").alias("lv")
+        )
+    )
+    right = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", n_salts=8, salt_src="lv")
+    assert sorted(map(tuple, salted.select("k", "lv", "rv").collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from hdsp_hive_release_src_spark.operators.skew import salted_join
+
+    left = spark.range(1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("rv"))
+    out = salted_join(left, right, "k", n_salts=8, salt_src="lv")
+    # the hot key's rows must hash across >1 salt bucket pre-join
+    n_salts_used = (
+        left.withColumn("__salt", F.pmod(F.hash(F.col("lv")), F.lit(8)))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts_used == 8
+    assert out.count() == 1000
+
+
+def test_bucketed_join_avoids_exchange(spark, tmp_path_factory):
+    """bucketBy + saveAsTable co-locates both sides: the join plan must
+    contain no Exchange (shuffle) — the 100 TB repeated-join pattern."""
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        # DROP alone can't clear a leftover location after a metastore reset
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (
+        orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    j = (
+        spark.table("b_orders")
+        .hint("merge")  # force SMJ so the exchange question is real
+        .join(spark.table("b_lineitem"), "o_orderkey")
+    )
+    plan = explain_str(j, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert j.count() > 0
+
+
+def test_big_join_is_not_broadcast(spark):
+    """lineitem must never be the broadcast side of a fact-fact join."""
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    j = li.join(orders.hint("shuffle_merge"), li.l_orderkey == orders.o_orderkey)
+    plan = explain_str(j, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
