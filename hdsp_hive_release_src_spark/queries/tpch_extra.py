@@ -194,6 +194,129 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    flt AS (SELECT p_partkey, p_brand FROM part
+            WHERE p_size < 10 AND p_type = 'PROMO'),
+    ranked AS (
+      SELECT p_partkey, p_brand, l_suppkey, unit_cost,
+             row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY unit_cost, l_suppkey) AS rn
+      FROM cost JOIN flt ON p_partkey = l_partkey)
+    SELECT p_partkey, p_brand, round(unit_cost, 4) AS best_cost,
+           s_suppkey, s_name
+    FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 ORDER BY p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-less: lineitem is the part↔supplier
+    link): cheapest supplier per filtered part by observed unit cost.
+    Correlated-min subquery → one agg + one window rank; part filter
+    is applied BEFORE the rank so only qualifying parts shuffle."""
+    cat = Catalog(spark, sf_dir)
+    flt = cat.part.where(
+        (F.col("p_size") < 10) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_brand")
+    cost = (
+        cat.lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.join(B(flt), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(B(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 4).alias("best_cost"),
+            "s_suppkey",
+            "s_name",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey,
+           round(sum(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) >
+      (SELECT sum(l_extendedprice * l_quantity) * 0.0006 FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total traded value exceeds a
+    fraction (0.06%) of the global total — scalar-subquery threshold as a
+    1-row broadcast cross join (both aggregates scan once each)."""
+    li = Catalog(spark, sf_dir).lineitem
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("v"))
+    total = li.agg((F.sum(val) * 0.0006).alias("threshold"))
+    return (
+        per_part.join(B(total))
+        .where(F.col("v") > F.col("threshold"))
+        .select("l_partkey", F.round("v", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN supplier exclusion → broadcast anti join (no null
+    keys in this schema, so anti ≡ NOT IN)."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = cat.supplier.where(F.col("s_name").like("%7%")).select(
+        "s_suppkey"
+    )
+    return (
+        cat.lineitem.join(B(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            B(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
     "merge_upsert",
     oracle="""
     WITH target AS (

@@ -41,9 +41,11 @@ def load_all() -> None:
         analytics,
         events,
         functions_suite,
+        hive_surface,
         llm,
         sources,
         streaming,
+        timeseries,
         tpch,
         tpch_extra,
     )
