@@ -43,6 +43,7 @@ def load_all() -> None:
         functions_suite,
         hive_surface,
         llm,
+        llm2,
         sources,
         streaming,
         timeseries,
