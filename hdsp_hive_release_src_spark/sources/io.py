@@ -39,6 +39,17 @@ def roundtrip_json(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
     return spark.read.schema(df.schema).json(path)
 
 
+def roundtrip_orc(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
+    """parquet → ORC → read back. ORC is Hive's native columnar format
+    (the reference engine's vectorized path) — Spark's built-in ORC
+    source gives the same predicate-pushdown/column-pruning surface as
+    parquet."""
+    path = scratch_path(tag, sf_dir)
+    df.write.mode("overwrite").orc(path)
+    spark = df.sparkSession
+    return spark.read.schema(df.schema).orc(path)
+
+
 def write_partitioned(
     df: DataFrame, partition_col: str, tag: str, sf_dir: str
 ) -> str:

@@ -97,6 +97,51 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, value-sum) carried in explicit GroupState across
+    micro-batches — the arbitrary-stateful-processing escape hatch for
+    operators session_window/dropDuplicates can't express.
+
+    Each batch emits the user's cumulative state; counts increase
+    monotonically, so the final answer is the max-count row per user
+    regardless of how the source was micro-batched — making the result
+    deterministic and batch-equivalent (full oracle)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = run_to_memory(out, "update", "stream_state")
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("raw_total"),
+        )
+    )
+    return final.select(
+        "user_id", "n_events", F.round("raw_total", 2).alias("total_value")
+    )
+
+
 def stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) → per-type distinct-user
     counts (dropDuplicates keeps first arrival; the projection makes
