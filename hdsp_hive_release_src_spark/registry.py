@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from hdsp_hive_release_src_spark.queries import (  # noqa: F401
         analytics,
+        engine_surface,
         events,
         functions_suite,
         hive_surface,
