@@ -50,4 +50,5 @@ def load_all() -> None:
         timeseries,
         tpch,
         tpch_extra,
+        udf_surface,
     )
