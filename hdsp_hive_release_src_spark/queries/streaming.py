@@ -84,6 +84,28 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_pairs
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+          FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id ORDER BY v.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view → purchase ≤ 1 h,
+    same user) ≡ the batch interval join once both streams drain."""
+    return jobs.stream_stream_interval_join(spark, sf_dir).orderBy(
+        "user_id"
+    )
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT event_type, count(DISTINCT user_id) AS n_users

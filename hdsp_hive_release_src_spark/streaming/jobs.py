@@ -142,6 +142,49 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream join: each view event joined to the
+    same user's purchase events within the following hour. Both sides
+    carry watermarks so the join state is bounded (the 100 TB-stream
+    requirement — unbounded state OOMs); the time-interval predicate
+    lets Spark expire rows past view_ts + 1h. Append-mode pairs sink
+    to memory; the batch aggregation of the drained sink is
+    batch-equivalent (full oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    name = run_to_memory(pairs, "append", "stream_join")
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) → per-type distinct-user
     counts (dropDuplicates keeps first arrival; the projection makes

@@ -80,6 +80,50 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path_factory):
     assert j.count() > 0
 
 
+def test_gapfill_grid_is_broadcast(spark):
+    """The day×type grid must broadcast — the fact table must never
+    shuffle for the zero-fill join."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["gapfill_daily"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    """The NOT IN supplier exclusion must compile to a broadcast anti
+    join, not a shuffled one."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["q16_supplier_count"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "simple")
+    anti_lines = [
+        ln for ln in plan.splitlines() if "LeftAnti" in ln
+    ]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in ln for ln in anti_lines
+    ), plan
+
+
+def test_ivf_codebook_is_broadcast(spark):
+    """IVF assignment joins the corpus against the (tiny) codebook —
+    both the assign and probe joins must broadcast the centroids."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["ann_ivf_topk"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_big_join_is_not_broadcast(spark):
     """lineitem must never be the broadcast side of a fact-fact join."""
     from hdsp_hive_release_src_spark.plans import explain_str
