@@ -1,0 +1,215 @@
+"""SURVEY.md §2.2/§2.4/§2.5 continued — OLAP-engine surface, wave 3:
+
+- ``decimal_agg`` — exact DECIMAL arithmetic (the money path: no float
+  rounding; Spark and the oracle must agree to the last digit).
+- ``array_set_ops`` — array_union/intersect/except/distinct family.
+- ``binary_meta`` — multimodal metadata WITHOUT decode: byte length,
+  content digest, magic-bytes sniff over a binary column — the part of
+  the media pipeline that is engine-checkable (FULL oracle; the decode
+  stub lives in ``multimodal_meta``).
+- ``distribute_sort_by`` — HiveQL DISTRIBUTE BY / SORT BY clauses
+  (cluster-by layout control; row-set equality is the contract).
+- ``materialized_view_rewrite`` — Hive MV workflow: materialize a
+  monthly rollup table, answer a coarser (quarterly) query FROM THE MV;
+  the oracle computes from the base table, so any MV staleness/loss
+  breaks parity.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "decimal_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS sum_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+               * CAST(1 - l_discount AS DECIMAL(18, 4))) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation — the financial-correctness path.
+    Unlike the double-typed queries (rounded before compare), these
+    sums must match the oracle EXACTLY: decimal addition is associative
+    so shuffle/combine order cannot change the result at any scale."""
+    li = Catalog(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (1 - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("decimal(38,4)").alias("sum_price"),
+            F.sum(price * disc).cast("decimal(38,8)").alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "array_set_ops",
+    oracle="""
+    SELECT p_partkey,
+           list_sort(list_distinct(ws || [p_brand])) AS u,
+           list_sort(list_intersect(ws, ws[1:2])) AS i,
+           list_sort(list_filter(list_distinct(ws),
+                     x -> NOT list_contains(ws[1:1], x))) AS e,
+           CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+           list_contains(ws, 'green') AS has_green
+    FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ') AS ws
+          FROM part WHERE p_partkey < 200)
+    ORDER BY p_partkey
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation family: union/intersect/except/distinct/
+    contains — outputs sorted so engine-internal set order can't leak
+    into the comparison."""
+    p = Catalog(spark, sf_dir).part
+    ws = F.split("p_name", " ")
+    return (
+        p.where(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.array_sort(
+                F.array_union(ws, F.array(F.col("p_brand")))
+            ).alias("u"),
+            F.array_sort(F.array_intersect(ws, F.slice(ws, 1, 2))).alias(
+                "i"
+            ),
+            F.array_sort(F.array_except(ws, F.slice(ws, 1, 1))).alias("e"),
+            F.size(F.array_distinct(ws)).alias("n_distinct"),
+            F.array_contains(ws, "green").alias("has_green"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           hex(substring(text, 1, 4)) AS magic_hex,
+           CASE WHEN substring(text, 1, 4) = 'key '
+                THEN 'sniffed/key' ELSE 'application/octet-stream'
+           END AS sniffed_type
+    FROM documents ORDER BY doc_id
+    """,
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass over an opaque binary column — byte
+    length, content digest, magic-byte sniffing — everything a media
+    pipeline does BEFORE decoding, as pure JVM expressions with a full
+    oracle. (Decode itself is the stubbed mapInPandas in
+    ``multimodal_meta``.) At 100 TB this is the cheap map-only triage
+    that routes payloads to per-type decode stages."""
+    d = Catalog(spark, sf_dir).documents
+    payload = F.encode("text", "utf-8")
+    magic = F.substring(F.col("text"), 1, 4)
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        F.hex(F.encode(magic, "utf-8")).alias("magic_hex"),
+        F.when(magic == "key ", "sniffed/key")
+        .otherwise("application/octet-stream")
+        .alias("sniffed_type"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "distribute_sort_by",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL DISTRIBUTE BY / SORT BY: explicit partition-and-order
+    layout control (the pre-bucketing write pattern). The contract is
+    row-SET equality — per-partition order is a layout property, which
+    the order-insensitive compare respects."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders WHERE o_totalprice > 100000
+        DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+        """
+    )
+
+
+@query(
+    "materialized_view_rewrite",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS quarter,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                 * CAST(1 - l_discount AS DECIMAL(18, 4))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag, quarter ORDER BY l_returnflag, quarter
+    """,
+)
+def materialized_view_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive materialized-view workflow: materialize a MONTHLY revenue
+    rollup as a managed table, then answer the QUARTERLY question from
+    the MV (rollup-on-rollup — sums and counts re-aggregate; this is
+    why the MV stores sum/count, never avg). The revenue measure is
+    DECIMAL end-to-end: decimal addition is associative, so the
+    month→quarter re-aggregation is EXACTLY the direct quarterly sum —
+    with doubles the two accumulation orders differ in the last bit
+    and can land across a rounding boundary. The oracle computes from
+    the base table: staleness or a non-re-aggregable measure breaks
+    parity. At 100 TB the MV is the difference between scanning 90
+    days of facts and 3 rows per flag."""
+    cat = Catalog(spark, sf_dir)
+    mv = "mv_monthly_revenue"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {mv}")
+    shutil.rmtree(f"{warehouse}/{mv}", ignore_errors=True)
+    (
+        cat.lineitem.groupBy(
+            "l_returnflag",
+            F.date_trunc("month", "l_shipdate").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount")).cast("decimal(18,4)")
+            ).alias("rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(mv)
+    )
+    return (
+        spark.table(mv)
+        .groupBy(
+            "l_returnflag",
+            F.date_trunc("quarter", "month").alias("quarter"),
+        )
+        .agg(
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.sum("n_items").alias("n_items"),
+        )
+        .orderBy("l_returnflag", "quarter")
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
         hive_surface,
         llm,
         llm2,
+        olap_surface,
         sources,
         streaming,
         timeseries,
