@@ -214,23 +214,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
-@query("dedup_simhash")  # xxhash64-defined bit pattern → rows-only check
+def _simhash_oracle_sql() -> str:
+    """SimHash bits come from md5 nibbles (not xxhash64) precisely so
+    both engines can compute the identical bit pattern — full oracle.
+    A production deployment would swap md5 for xxhash64 (cheaper); the
+    plan shape is unchanged."""
+    nibs = ", ".join(
+        f"strpos('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1"
+        f" AS n{k}"
+        for k in range(16)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN "
+        + (f"{1 << i}" if i < 63 else f"{-(1 << 63)}")
+        + " ELSE 0 END)"
+        for i in range(64)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band,"
+        f" (simhash >> {16 * j}) & 65535 AS bh FROM sim"
+        for j in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    nib AS (SELECT doc_id, {nibs} FROM tok WHERE t <> ''),
+    votes AS (SELECT doc_id, {votes} FROM nib GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash
+            FROM votes),
+    banded AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT d1, d2, hamming FROM pairs WHERE hamming <= 8
+    ORDER BY d1, d2
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming ≤ 8), banded 4×16 bits.
 
     Bit votes aggregate in one pass over exploded tokens (64 CASE
     sums); pairs come from band buckets and are verified with exact
-    bit_count(xor) — scale cost O(docs) + O(bucket pairs).
-    """
+    bit_count(xor) — scale cost O(docs) + O(bucket pairs). Token bits
+    are md5 nibbles so the oracle reproduces them exactly (xxhash64 is
+    the cheaper production swap-in)."""
     d = _parallel_docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).where(F.col("t") != "")
-    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
-    bit_sums = h.groupBy("doc_id").agg(
+    nib = tok.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1"
+            ).alias(f"n{k}")
+            for k in range(16)
+        ],
+    )
+    bit_sums = nib.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+                F.when(
+                    F.expr(f"((n{i // 4} >> {i % 4}) & 1)") == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -402,7 +458,37 @@ def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-@query("ann_lsh_topk")  # bucket membership is hash-defined → rows-only
+def _lsh_oracle_sql() -> str:
+    """The LSH planes are md5-derived constants — inline them as SQL
+    literals so DuckDB reproduces the exact bucket assignment (full
+    oracle, not rows-only)."""
+    planes = _hyperplanes()
+    dots = [
+        f"""(CASE WHEN list_sum(list_transform(range(1, 65),
+             i -> v[i] * ([{", ".join(repr(c) for c in plane)}])[i])) > 0
+             THEN {1 << p} ELSE 0 END)"""
+        for p, plane in enumerate(planes)
+    ]
+    bucket = " + ".join(dots)
+    return f"""
+    WITH {_DUCK_COSINE},
+    b AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM n),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb
+          FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * b.v[i])) / (q.qn * b.nrm), 6) AS cos
+      FROM q JOIN b ON b.bucket = q.qb AND b.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 4 sign bits → 16 buckets (sized so a
     500-vector corpus still yields ~30 bucket-mates per query); top-10
