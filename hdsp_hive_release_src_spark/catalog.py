@@ -33,25 +33,34 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: session-scoped DataFrame memo: every query builds a fresh Catalog, so
+#: without this each of the ~100 registered queries re-lists the path and
+#: re-reads parquet footers (~50-100 ms of planning latency apiece).
+#: DataFrames are lazy plans — sharing one per (session, sf_dir, table)
+#: is safe; keyed by applicationId so a restarted session can't reuse
+#: plans bound to a dead JVM context.
+_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
 class Catalog:
     """Lazy per-sf_dir table registry."""
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
-        self._cache: dict[str, DataFrame] = {}
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-        if name not in self._cache:
+        key = (self.spark.sparkContext.applicationId, self.sf_dir, name)
+        if key not in _SHARED:
             path = f"{self.sf_dir}/{name}.parquet"
             if name == "events":
                 df = self._read_events(path)
             else:
                 df = self.spark.read.parquet(path)
-            self._cache[name] = df
-        return self._cache[name]
+            _SHARED[key] = df
+        return _SHARED[key]
 
     def _read_events(self, path: str):
         """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized

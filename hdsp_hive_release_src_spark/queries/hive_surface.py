@@ -253,6 +253,76 @@ def window_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_ops_all",
+    oracle="""
+    WITH asia AS (
+      SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+    euro AS (
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT 'intersect_all' AS op, k FROM
+      (SELECT k FROM asia INTERSECT ALL SELECT k FROM euro)
+    UNION ALL
+    SELECT 'except_all' AS op, k FROM
+      (SELECT k FROM asia EXCEPT ALL SELECT k FROM euro)
+    ORDER BY op, k
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): duplicates
+    carry multiplicity — min(m1, m2) and m1 - m2 respectively — which
+    the DISTINCT variants in `set_ops` erase. Spark compiles both to a
+    single count-compare aggregation, no join explosion."""
+    c = Catalog(spark, sf_dir).customer
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    b = c.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("k")
+    )
+    return (
+        a.intersectAll(b)
+        .select(F.lit("intersect_all").alias("op"), "k")
+        .unionByName(
+            a.exceptAll(b).select(F.lit("except_all").alias("op"), "k")
+        )
+        .orderBy("op", "k")
+    )
+
+
+@query(
+    "fuzzy_match",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(split_part(p_name, ' ', 1),
+                       split_part(p_name, ' ', 2)) AS lev_within,
+           levenshtein(p_brand, 'Brand#1') AS lev_brand,
+           regexp_extract_all(p_name, '[a-z]{4,}') AS long_words
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+)
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-matching family: levenshtein edit distance (entity-
+    resolution primitive) + regexp_extract_all array extraction. At
+    scale, edit distance belongs AFTER a blocking join (never pairwise
+    across the corpus) — here it scores within-row name tokens."""
+    p = Catalog(spark, sf_dir).part
+    w1 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    return (
+        p.where(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.levenshtein(w1, w2).alias("lev_within"),
+            F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_brand"),
+            F.regexp_extract_all(
+                "p_name", F.lit("[a-z]{4,}"), 0
+            ).alias("long_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
     "filtered_agg",
     oracle="""
     SELECT l_returnflag,
