@@ -689,7 +689,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ multimodal stub
 
-@query("multimodal_meta")  # binary decode plumbing → rows-only check
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, len(text) + 1),
+                i -> ord(substring(text, i, 1)))) AS BIGINT) AS feat_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: opaque binary payload + typed
     metadata, decoded feature-extraction via mapInPandas (Arrow
@@ -697,7 +707,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The payload here is the utf-8 encoding of `text` (the container has
     no image/audio libs — TESTDATA has no media column); the decode
-    step is a deterministic stand-in (byte-mean 'embedding' stat) with
+    step is a deterministic stand-in (exact byte-sum 'feature' — an
+    integer, so the oracle can replay it byte-for-byte via ord()) with
     the REAL structure: binary column in Arrow batches → per-batch
     vectorized numpy → typed feature columns out. Swapping the stand-in
     for PIL/librosa decode changes only the inner function.
@@ -719,22 +730,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
-            feat_mean = payloads.map(
-                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean())
-                if len(b) else 0.0
+            feat_sum = payloads.map(
+                lambda b: int(
+                    np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)
+                )
             )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["meta"].map(lambda m: m["mime"]),
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "feat_mean": feat_mean.round(6),
+                    "feat_sum": feat_sum.astype("int64"),
                 }
             )
 
-    out_schema = (
-        "doc_id long, mime string, n_bytes long, feat_mean double"
-    )
+    out_schema = "doc_id long, mime string, n_bytes long, feat_sum long"
     return with_payload.mapInPandas(decode_batches, out_schema).orderBy(
         "doc_id"
     )
