@@ -369,8 +369,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+           round(CAST(sum(
+               CAST(l_extendedprice AS DECIMAL(18, 4))
+                 * CAST(1 - l_discount AS DECIMAL(18, 4))
+               - CAST(0.6 * p_retailprice AS DECIMAL(18, 4))
+                 * CAST(l_quantity AS DECIMAL(18, 4))
+           ) AS DOUBLE), 2) AS sum_profit
     FROM lineitem
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -382,13 +386,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted (no partsupp → supply cost modeled as 60% of
-    retail price). LIKE filter prunes part before the broadcast."""
+    retail price). LIKE filter prunes part before the broadcast.
+    Profit accumulates in DECIMAL: double sums differ across engines in
+    accumulation order and can straddle a cent rounding boundary at
+    larger SFs (seen at sf0.1) — decimal addition is exact."""
     cat = Catalog(spark, sf_dir)
     part = cat.part.where(F.col("p_name").like("%gear%")).select(
         "p_partkey", "p_retailprice"
     )
     li = cat.lineitem
-    profit = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount")).cast("decimal(18,4)")
+        - (0.6 * F.col("p_retailprice")).cast("decimal(18,4)")
+        * F.col("l_quantity").cast("decimal(18,4)")
+    )
     return (
         li.join(B(part), li.l_partkey == part.p_partkey)
         .join(B(cat.supplier), li.l_suppkey == F.col("s_suppkey"))
@@ -399,7 +411,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit.alias("profit"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("profit"), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum("profit").cast("double"), 2).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

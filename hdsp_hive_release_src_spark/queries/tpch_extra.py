@@ -207,7 +207,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY l_partkey
                  ORDER BY unit_cost, l_suppkey) AS rn
       FROM cost JOIN flt ON p_partkey = l_partkey)
-    SELECT p_partkey, p_brand, round(unit_cost, 4) AS best_cost,
+    SELECT p_partkey, p_brand, unit_cost AS best_cost,
            s_suppkey, s_name
     FROM ranked JOIN supplier ON s_suppkey = l_suppkey
     WHERE rn = 1 ORDER BY p_partkey
@@ -217,7 +217,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (partsupp-less: lineitem is the part↔supplier
     link): cheapest supplier per filtered part by observed unit cost.
     Correlated-min subquery → one agg + one window rank; part filter
-    is applied BEFORE the rank so only qualifying parts shuffle."""
+    is applied BEFORE the rank so only qualifying parts shuffle.
+    best_cost is emitted unrounded: both engines derive the identical
+    double (same division, same min), while an explicit round(4) can
+    split on representation (x.41175 stored below the .5 boundary
+    rounds differently under decimal-string vs scaled-double rounding
+    — seen at sf0.1); the comparator's round-to-6 handles parity."""
     cat = Catalog(spark, sf_dir)
     flt = cat.part.where(
         (F.col("p_size") < 10) & (F.col("p_type") == "PROMO")
@@ -241,7 +246,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_brand",
-            F.round("unit_cost", 4).alias("best_cost"),
+            F.col("unit_cost").alias("best_cost"),
             "s_suppkey",
             "s_name",
         )
