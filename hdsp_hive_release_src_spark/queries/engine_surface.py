@@ -148,6 +148,59 @@ def window_sliding_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORRELATED_SCALAR_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 25)
+               AS n_bulk_items
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+"""
+
+
+@query("correlated_scalar_select", oracle=_CORRELATED_SCALAR_SQL)
+def correlated_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — Catalyst
+    decorrelates it into an aggregate + left outer join (no per-row
+    rescan; the only plan that survives at scale). Same SQL string
+    runs as the oracle."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("orders")
+    cat.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_CORRELATED_SCALAR_SQL)
+
+
+@query(
+    "sql_udf_registration",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_brand) || ':' || CAST(length(p_name) AS VARCHAR)
+               AS tagged
+    FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+    """,
+)
+def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive CREATE FUNCTION parity: register a Python scalar UDF under
+    a SQL name and call it from a SQL string. Row-at-a-time Python is
+    the SLOW path (use pandas_udf / builtins in anything hot — see
+    pandas_udf_scalar); what's exercised here is the registration +
+    SQL-callable surface itself."""
+    cat = Catalog(spark, sf_dir)
+    cat.part.createOrReplaceTempView("part")
+
+    def tag(brand: str, name: str) -> str:
+        return f"{brand[::-1]}:{len(name)}"
+
+    spark.udf.register("brand_tag", tag, "string")
+    return spark.sql(
+        """
+        SELECT p_partkey, brand_tag(p_brand, p_name) AS tagged
+        FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+        """
+    )
+
+
 @query(
     "ctas_catalog",
     oracle="""
