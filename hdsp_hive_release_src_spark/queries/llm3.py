@@ -1,0 +1,97 @@
+"""SURVEY.md §2.4 continued — the end-to-end curation pipeline:
+raw corpus → quality gate → near-dup removal → per-language retention
+report, i.e. the composite flow every stage query (text_quality,
+dedup_ngram_jaccard, …) exists to serve, wired together with one
+oracle over the whole chain.
+
+Scale shape: the quality gate is map-only; near-dup pairs come from
+the inverted-index join (bounded candidates, see llm.py); the drop
+set is tiny and broadcast into an anti join; one final shuffle on
+language for the report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.queries.llm import (
+    _DUCK_SHINGLES,
+    _jaccard_pairs_exact,
+)
+from hdsp_hive_release_src_spark.registry import query
+
+B = F.broadcast
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    jp AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT d2 FROM jp
+      JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+    docs AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    flagged AS (
+      SELECT doc_id, lang,
+             (len(ws) >= 30
+              AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.35) AS ok,
+             ((len(ws) >= 30
+               AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.35)
+              AND doc_id NOT IN (SELECT d2 FROM dups)) AS final
+      FROM docs)
+    SELECT lang,
+           count(*) AS n_raw,
+           CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_quality,
+           CAST(count(*) FILTER (WHERE final) AS BIGINT) AS n_final,
+           round(count(*) FILTER (WHERE final) * 1.0 / count(*), 4)
+               AS retention
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain end-to-end: (1) quality gate — ≥30 tokens and
+    ≥0.35 distinct-token ratio (map-only); (2) near-dup removal —
+    keep-first over Jaccard ≥ 0.5 pairs (drop set broadcast into an
+    anti join); (3) per-language retention report. One oracle checks
+    the WHOLE chain, not just its stages."""
+    d = Catalog(spark, sf_dir).documents
+    ws = F.split("text", " ")
+    ok = (F.size(ws) >= 30) & (
+        F.size(F.array_distinct(ws)) * 1.0 / F.size(ws) >= 0.35
+    )
+    flagged = d.select("doc_id", "lang", ok.alias("ok"))
+    dups = (
+        _jaccard_pairs_exact(spark, sf_dir)
+        .select(F.col("d2").alias("dup_id"))
+        .distinct()
+    )
+    final = (
+        flagged.join(
+            B(dups), flagged.doc_id == F.col("dup_id"), "left"
+        )
+        .select(
+            "lang",
+            "ok",
+            (F.col("ok") & F.col("dup_id").isNull()).alias("final"),
+        )
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if("ok").alias("n_quality"),
+            F.count_if("final").alias("n_final"),
+            F.round(F.count_if("final") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -106,6 +106,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_parquet_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → parquet sink, then a batch read-back aggregation
+    ≡ the batch aggregate (loss or duplication in the sink breaks
+    parity)."""
+    return jobs.stream_to_parquet_sink(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT event_type, count(DISTINCT user_id) AS n_users

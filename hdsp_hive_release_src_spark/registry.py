@@ -45,6 +45,7 @@ def load_all() -> None:
         hive_surface,
         llm,
         llm2,
+        llm3,
         olap_surface,
         sources,
         streaming,

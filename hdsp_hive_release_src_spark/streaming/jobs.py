@@ -185,6 +185,42 @@ def stream_stream_interval_join(
     )
 
 
+def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch production sink: each micro-batch lands in a
+    parquet directory via the batch writer (the pattern for sinks the
+    streaming API doesn't cover natively — upserts, JDBC, multi-table
+    fan-out). Exactly-once here comes from rerun idempotency: the sink
+    dir is cleared up front; in production foreachBatch dedupes on
+    batchId instead."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    path = scratch_path("stream_sink", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.select("event_id", "event_type", "value").write.mode(
+            "append"
+        ).parquet(path)
+
+    q = ev.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) → per-type distinct-user
     counts (dropDuplicates keeps first arrival; the projection makes
