@@ -205,6 +205,46 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "string_funcs_codec",
+    oracle="""
+    SELECT doc_id,
+           translate(substring(text, 1, 30), 'aeiou', '01234') AS devoweled,
+           CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_code,
+           chr(CAST(65 + doc_id % 26 AS INTEGER)) AS row_letter,
+           to_base64(encode(substring(text, 1, 12))) AS head_b64,
+           decode(from_base64(to_base64(encode(substring(text, 1, 12)))))
+               AS head_back,
+           array_to_string(string_split(text, ' ')[1:3], ' ')
+               AS first_three
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def string_funcs_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec/char string family: translate, ascii/chr, base64
+    round-trip, substring_index. Base64 parity proves byte-exact
+    encode/decode across engines."""
+    d = Catalog(spark, sf_dir).documents
+    head12 = F.substring("text", 1, 12)
+    return (
+        d.where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.translate(F.substring("text", 1, 30), "aeiou", "01234").alias(
+                "devoweled"
+            ),
+            F.ascii(F.substring("text", 1, 1)).alias("first_code"),
+            F.chr(65 + F.col("doc_id") % 26).alias("row_letter"),
+            F.base64(F.encode(head12, "utf-8")).alias("head_b64"),
+            F.decode(
+                F.unbase64(F.base64(F.encode(head12, "utf-8"))), "utf-8"
+            ).alias("head_back"),
+            F.substring_index("text", " ", 3).alias("first_three"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "string_funcs_extended",
     oracle="""
     SELECT p_partkey,
