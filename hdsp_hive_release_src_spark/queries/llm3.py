@@ -25,6 +25,28 @@ from hdsp_hive_release_src_spark.registry import query
 B = F.broadcast
 
 
+@query("kmeans_clusters")  # iterative; float-tie-free only in tests
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (3 iterations, deterministic mod-25
+    seeding) over the embeddings — the iterative-algorithm class
+    (driver sees only the k×64 codebook per round; corpus scanned once
+    per iteration). Rows-only for the driver (unrolling 3 Lloyd rounds
+    in SQL is impractical); tests verify the clustering against an
+    independent numpy implementation at sf0.001."""
+    from hdsp_hive_release_src_spark.functions.vectors import to_double
+    from hdsp_hive_release_src_spark.operators.kmeans import kmeans
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", to_double("embedding").alias("v")
+    )
+    assign = kmeans(e, id_col="vec_id", vec_col="v")
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
 @query(
     "quality_filter_pipeline",
     oracle=f"""

@@ -44,6 +44,13 @@ def get_spark(
 
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Pin the confs value-comparison against DuckDB depends on, on a
-    session we did not build (e.g. the driver's)."""
+    session we did not build (e.g. the driver's), plus runtime-settable
+    perf confs: a foreign session defaults to 200 shuffle partitions,
+    which is pure scheduling overhead at test scale."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
