@@ -323,6 +323,43 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY round(o_totalprice / 10000), o_orderkey
+               ) AS BIGINT) AS rn
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY round(o_totalprice / 10000))
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank vs row_number on a deliberately tie-heavy
+    key (price bucketed to 10k): rank leaves gaps after ties,
+    dense_rank doesn't, row_number needs the explicit tiebreak to stay
+    deterministic — the classic three-way semantic distinction."""
+    o = Catalog(spark, sf_dir).orders
+    bucket = F.round(F.col("o_totalprice") / 10000)
+    w = Window.partitionBy("o_custkey").orderBy(bucket)
+    wd = Window.partitionBy("o_custkey").orderBy(bucket, "o_orderkey")
+    return (
+        o.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(wd).cast("long").alias("rn"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
     "filtered_agg",
     oracle="""
     SELECT l_returnflag,

@@ -98,6 +98,56 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_permissive_parse",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt
+    FROM part
+    """,
+)
+def csv_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift tolerance: a CSV with 3 injected malformed rows is
+    read in PERMISSIVE mode with a _corrupt_record column — good rows
+    parse, bad rows are captured, nothing is silently dropped. At
+    100 TB ingest this is the difference between a poisoned batch
+    killing the job and a quarantine column you can audit."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    p = Catalog(spark, sf_dir).part
+    path = scratch_path("csv_dirty_part", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    p.write.option("header", True).csv(path)
+    # inject malformed lines (wrong arity / non-numeric key)
+    with open(f"{path}/zz_bad_rows.csv", "w") as f:  # no "_" prefix: Hadoop hides those
+        f.write("p_partkey,p_name,p_brand,p_type,p_size,p_retailprice\n")
+        f.write("not_a_number,x,y,z,1,1.0\n")
+        f.write("1,only,two\n")
+        f.write("2,bad,size,PROMO,not_int,9.99\n")
+    schema = (
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # one pass; _corrupt_record requires referencing raw
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).cast("long").alias(
+            "n_good"
+        ),
+        F.count_if(F.col("_corrupt_record").isNotNull())
+        .cast("long")
+        .alias("n_corrupt"),
+    )
+
+
+@query(
     "partitioned_sink_prune",
     oracle="""
     SELECT l_linestatus, count(*) AS n,
