@@ -41,6 +41,7 @@ def load_all() -> None:
         analytics,
         engine_surface,
         events,
+        extras,
         functions_suite,
         hive_surface,
         llm,
