@@ -42,6 +42,7 @@ def load_all() -> None:
         engine_surface,
         events,
         extras,
+        extras2,
         functions_suite,
         hive_surface,
         llm,

@@ -13,7 +13,16 @@ NAMES = (
     "listagg_sorted",
     "streak_islands",
     "skew_salted_join_agg",
+    "map_higher_order",
+    "try_arithmetic",
 )
+
+
+def test_try_arithmetic_null_semantics(spark, sf_dir):
+    # non-numeric casts and /0 must yield NULL, never raise
+    row = QUERIES["try_arithmetic"](spark, sf_dir).collect()[0]
+    assert row.n_type_numeric == 0
+    assert row.n_brand_ids == row.n_rows  # every brand has a numeric tail
 
 
 def test_oracle_parity(spark, sf_dir, duck):
