@@ -43,6 +43,7 @@ def load_all() -> None:
         events,
         extras,
         extras2,
+        extras3,
         functions_suite,
         hive_surface,
         llm,

@@ -15,6 +15,7 @@ NAMES = (
     "skew_salted_join_agg",
     "map_higher_order",
     "try_arithmetic",
+    "date_builtins_extended",
 )
 
 
