@@ -439,16 +439,37 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # HLL sketch values are impl-defined → rows-only
+@query(
+    "approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
-    distinct counts — mergeable sketch, no expand."""
+    distinct counts — mergeable sketch, no expand.
+
+    The HLL estimate itself is impl-defined, so the deterministic output
+    is the EXACT count plus a Spark-computed boolean asserting the sketch
+    landed within 5% of it; the oracle computes the exact count and a
+    literal TRUE — full hash-match without pinning HLL internals."""
     li = Catalog(spark, sf_dir).lineitem
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -112,19 +112,23 @@ def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
            CAST(len(list(n_name)) AS BIGINT) AS n_nations
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set/collect_list → sorted array (order-canonicalized so
-    the shuffle's row order can't leak into results)."""
+    """collect_set/collect_list → sorted array, emitted as a joined
+    string (order-canonicalized so the shuffle's row order can't leak
+    into results, and scalar-typed so any downstream pandas
+    canonicalization — which can't sort list cells — stays hashable)."""
     n = Catalog(spark, sf_dir).nation
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias(
+                "nations"
+            ),
             F.size(F.collect_list("n_name")).cast("long").alias("n_nations"),
         )
         .orderBy("n_regionkey")

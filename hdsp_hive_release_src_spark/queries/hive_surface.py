@@ -46,7 +46,7 @@ def table_sample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_brand AS brand_val,
            p_size AS size_val,
            CAST(2 AS INTEGER) AS n_keys,
-           ['brand', 'size'] AS keys,
+           'brand,size' AS keys,
            p_retailprice AS price_val
     FROM part ORDER BY p_partkey LIMIT 200
     """,
@@ -72,7 +72,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(kv, "brand").alias("brand_val"),
             F.element_at(kv, "size").cast("int").alias("size_val"),
             F.size(kv).alias("n_keys"),
-            F.array_sort(F.map_keys(kv)).alias("keys"),
+            F.concat_ws(",", F.array_sort(F.map_keys(kv))).alias("keys"),
             F.element_at(m2, "price").alias("price_val"),
         )
         .orderBy("p_partkey")

@@ -243,7 +243,7 @@ def length_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
     comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
     SELECT component, CAST(count(*) AS BIGINT) AS n_members,
-           list_sort(list(id)) AS members
+           array_to_string(list_sort(list(id)), ',') AS members
     FROM comp GROUP BY component ORDER BY component
     """,
 )
@@ -286,7 +286,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.array_sort(F.collect_list("id")).alias("members"),
+            # joined string, not array: scalar cells keep every driver-side
+            # pandas canonicalization (sort/hash) well-defined
+            F.concat_ws(",", F.array_sort(F.collect_list("id"))).alias(
+                "members"
+            ),
         )
         .orderBy("component")
     )

@@ -62,10 +62,10 @@ def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_set_ops",
     oracle="""
     SELECT p_partkey,
-           list_sort(list_distinct(ws || [p_brand])) AS u,
-           list_sort(list_intersect(ws, ws[1:2])) AS i,
-           list_sort(list_filter(list_distinct(ws),
-                     x -> NOT list_contains(ws[1:1], x))) AS e,
+           array_to_string(list_sort(list_distinct(ws || [p_brand])), ',') AS u,
+           array_to_string(list_sort(list_intersect(ws, ws[1:2])), ',') AS i,
+           array_to_string(list_sort(list_filter(list_distinct(ws),
+                     x -> NOT list_contains(ws[1:1], x))), ',') AS e,
            CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
            list_contains(ws, 'green') AS has_green
     FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ') AS ws
@@ -75,21 +75,24 @@ def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-operation family: union/intersect/except/distinct/
-    contains — outputs sorted so engine-internal set order can't leak
-    into the comparison."""
+    contains — outputs sorted AND joined to strings so engine-internal
+    set order can't leak into the comparison and driver-side pandas
+    canonicalization never sees an unhashable list cell."""
     p = Catalog(spark, sf_dir).part
     ws = F.split("p_name", " ")
     return (
         p.where(F.col("p_partkey") < 200)
         .select(
             "p_partkey",
-            F.array_sort(
-                F.array_union(ws, F.array(F.col("p_brand")))
+            F.concat_ws(
+                ",", F.array_sort(F.array_union(ws, F.array(F.col("p_brand"))))
             ).alias("u"),
-            F.array_sort(F.array_intersect(ws, F.slice(ws, 1, 2))).alias(
-                "i"
-            ),
-            F.array_sort(F.array_except(ws, F.slice(ws, 1, 1))).alias("e"),
+            F.concat_ws(
+                ",", F.array_sort(F.array_intersect(ws, F.slice(ws, 1, 2)))
+            ).alias("i"),
+            F.concat_ws(
+                ",", F.array_sort(F.array_except(ws, F.slice(ws, 1, 1)))
+            ).alias("e"),
             F.size(F.array_distinct(ws)).alias("n_distinct"),
             F.array_contains(ws, "green").alias("has_green"),
         )

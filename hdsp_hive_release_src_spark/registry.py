@@ -36,24 +36,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run.
+
+    Import ORDER is registration order is the order any sampling driver
+    walks the registry — so the highest-risk families (TPC-H, the LLM
+    dedup/ANN pipeline, streaming, sources) register FIRST, ahead of the
+    builtin-function suites that a sample window would otherwise fill
+    up on.
+    """
     from hdsp_hive_release_src_spark.queries import (  # noqa: F401
+        tpch,
+        tpch_extra,
+        llm,
+        llm2,
+        llm3,
+        streaming,
+        sources,
+        events,
+        timeseries,
         analytics,
         engine_surface,
-        events,
         extras,
         extras2,
         extras3,
         functions_suite,
         hive_surface,
-        llm,
-        llm2,
-        llm3,
         olap_surface,
-        sources,
-        streaming,
-        timeseries,
-        tpch,
-        tpch_extra,
         udf_surface,
     )
