@@ -28,14 +28,21 @@ def salted_join(
     """Equi-join on ``key`` with the left side's hot keys spread over
     ``n_salts`` sub-keys and the right side replicated to match.
 
-    ``salt_src``: left column whose hash picks the salt (defaults to
-    the key itself via spark_partition_id-free row hash — pass a
-    high-cardinality column for real spreading).
+    ``salt_src``: left column whose hash picks the salt. Default is a
+    hash over the WHOLE left row — a per-row value, so every row of a
+    hot key lands in its own pseudo-random bucket (hashing the key
+    itself would give all rows of the hot key the SAME salt: zero
+    spreading, pure replication cost). Deterministic: the salt is a
+    pure function of row content, so retries and reruns reproduce the
+    same partitioning (no rand()).
     """
-    src = salt_src or key
-    salted_l = left.withColumn(
-        "__salt", F.pmod(F.hash(F.col(src)), F.lit(n_salts))
-    )
+    if salt_src is not None:
+        salt_expr = F.pmod(F.hash(F.col(salt_src)), F.lit(n_salts))
+    else:
+        salt_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        )
+    salted_l = left.withColumn("__salt", salt_expr)
     salted_r = right.withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),

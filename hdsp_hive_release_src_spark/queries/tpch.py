@@ -7,9 +7,12 @@ release fork, /root/reference/README.md:1-4) — joins (inner/outer/semi/
 anti), multi-aggregate GROUP BY, HAVING, scalar + EXISTS subqueries,
 ORDER BY/LIMIT. Everything here is pure DataFrame API: Catalyst gets a
 declarative plan and supplies pushdown, pruning, join selection and
-partial aggregation; broadcast hints mark the always-small dimensions
-(SURVEY.md §4 — at 100 TB the fact tables shuffle on join keys once,
-dims never shuffle).
+partial aggregation; broadcast hints mark ONLY the always-small
+dimensions (region/nation/supplier and scalar aggregates). customer
+and part are deliberately unhinted: they scale with the fact tables
+(billions of rows at 100 TB), so a forced broadcast would override
+autoBroadcastJoinThreshold and OOM — AQE picks broadcast-vs-shuffle
+from post-filter runtime sizes instead (SURVEY.md §4).
 
 Oracle determinism notes: money aggregates are rounded to 2 decimals on
 BOTH sides (double summation order differs between engines); every
@@ -90,8 +93,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 (schema has no o_shippriority). customer is the small
-    side → broadcast; lineitem⋈orders shuffles once on orderkey."""
+    """TPC-H Q3 (schema has no o_shippriority). lineitem⋈orders shuffles
+    once on orderkey. customer is NOT hinted: at 100 TB it is billions
+    of rows, so a forced broadcast would OOM the executors — AQE picks
+    broadcast-vs-shuffle from the post-filter size at runtime."""
     cat = Catalog(spark, sf_dir)
     cust = cat.customer.where(F.col("c_mktsegment") == "BUILDING")
     orders = cat.orders.where(
@@ -102,7 +107,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(B(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -166,9 +171,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way star join. All of supplier/nation/region/customer
-    broadcast; the only shuffle is lineitem⋈orders on orderkey + the
-    final 5-row aggregation."""
+    """TPC-H Q5: 6-way star join. supplier/nation/region broadcast; the
+    only shuffle is lineitem⋈orders on orderkey + the final 5-row
+    aggregation. customer is unhinted (billions of rows at 100 TB) —
+    AQE decides broadcast-vs-shuffle from runtime stats."""
     cat = Catalog(spark, sf_dir)
     orders = cat.orders.where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -188,7 +194,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(B(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            B(cat.customer),
+            cat.customer,
             (orders.o_custkey == F.col("c_custkey"))
             & (supp.s_nationkey == F.col("c_nationkey")),
         )
@@ -263,7 +269,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         li.join(cat.orders, li.l_orderkey == F.col("o_orderkey"))
-        .join(B(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(B(cat.supplier), li.l_suppkey == F.col("s_suppkey"))
         .join(B(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(B(cn), F.col("c_nationkey") == F.col("c_nk"))
@@ -314,7 +320,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share via conditional aggregation over
-    an 8-table star join — every dim broadcast."""
+    an 8-table star join. region/nation/supplier broadcast; customer
+    and part are unhinted (both are fact-scale at 100 TB) — AQE picks
+    the join strategy from post-filter runtime sizes."""
     cat = Catalog(spark, sf_dir)
     part = cat.part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
     sn = cat.nation.select(
@@ -337,9 +345,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = cat.lineitem
     df = (
-        li.join(B(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(B(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(B(cat.supplier), li.l_suppkey == F.col("s_suppkey"))
         .join(B(sn), F.col("s_nationkey") == F.col("s_nk"))
         .select(
@@ -386,7 +394,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted (no partsupp → supply cost modeled as 60% of
-    retail price). LIKE filter prunes part before the broadcast.
+    retail price). LIKE filter prunes part before the join; part is
+    unhinted (fact-scale at 100 TB) so AQE sizes the join at runtime.
     Profit accumulates in DECIMAL: double sums differ across engines in
     accumulation order and can straddle a cent rounding boundary at
     larger SFs (seen at sf0.1) — decimal addition is exact."""
@@ -402,7 +411,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(18,4)")
     )
     return (
-        li.join(B(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(B(cat.supplier), li.l_suppkey == F.col("s_suppkey"))
         .join(B(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -446,7 +455,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat.lineitem.where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(B(cat.customer), orders.o_custkey == F.col("c_custkey"))
+        .join(cat.customer, orders.o_custkey == F.col("c_custkey"))
         .join(B(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
@@ -466,10 +475,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
-                    THEN 1 ELSE 0 END) AS late_count,
-           sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 45 DAY
-                    THEN 1 ELSE 0 END) AS ontime_count
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 45 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -544,7 +553,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share in one month; part broadcast."""
+    """TPC-H Q14: promo revenue share in one month. part is unhinted
+    (fact-scale at 100 TB) — AQE picks the join strategy."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem.where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -552,7 +562,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
     return (
-        li.join(B(cat.part), li.l_partkey == F.col("p_partkey"))
+        li.join(cat.part, li.l_partkey == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4).alias(
                 "promo_revenue"
@@ -595,7 +605,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_ok"),
                 li.l_orderkey == F.col("big_ok"), "left_semi")
         .join(cat.orders, li.l_orderkey == F.col("o_orderkey"))
-        .join(B(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
@@ -627,7 +637,7 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem
-    j = li.join(B(cat.part), F.col("p_partkey") == li.l_partkey)
+    j = li.join(cat.part, F.col("p_partkey") == li.l_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")

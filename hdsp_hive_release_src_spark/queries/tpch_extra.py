@@ -2,6 +2,11 @@
 (Q15/Q17/Q20/Q21 shapes, adapted: no partsupp/commit/receipt columns)
 plus a MERGE-INTO/SCD upsert emulation (Hive ACID's MERGE re-expressed
 as anti-join + union — the Delta-less idiom).
+
+Broadcast hints are restricted to always-small frames (supplier, 1-row
+scalar aggregates): part- and customer-derived frames scale with the
+fact tables at 100 TB, so they are left unhinted and AQE selects the
+join strategy from post-filter runtime sizes.
 """
 
 from __future__ import annotations
@@ -80,7 +85,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_cap")
     )
     return (
-        li.join(B(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty.withColumnRenamed("l_partkey", "ap_k"),
               li.l_partkey == F.col("ap_k"))
         .where(F.col("l_quantity") < F.col("qty_cap"))
@@ -114,7 +119,7 @@ def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(B(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 400)
@@ -239,7 +244,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     return (
-        cost.join(B(flt), F.col("l_partkey") == F.col("p_partkey"))
+        cost.join(flt, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .join(B(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -309,7 +314,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        cat.lineitem.join(B(part), F.col("l_partkey") == F.col("p_partkey"))
+        cat.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             B(excluded),
             F.col("l_suppkey") == F.col("s_suppkey"),

@@ -107,6 +107,46 @@ def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
     assert salted == plain
 
 
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    """The default (whole-row) salt must put rows of ONE hot key into
+    multiple salt buckets — hashing the key itself would give every row
+    the same salt (zero spreading). Also checks result parity vs a
+    plain join under the default salt."""
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.operators.skew import salted_join
+
+    # one hot key (0) with 200 distinct payload rows + a few cold keys
+    left = spark.createDataFrame(
+        [(0, i) for i in range(200)] + [(k, 0) for k in range(1, 5)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame([(k, k * 10) for k in range(5)], "k long, rv long")
+
+    n_salts = 8
+    salt_expr = F.pmod(F.xxhash64(F.col("k"), F.col("lv")), F.lit(n_salts))
+    buckets = (
+        left.where(F.col("k") == 0)
+        .select(salt_expr.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert buckets > 1, "hot key must land in more than one salt bucket"
+
+    plain = sorted(
+        map(tuple, left.join(right, "k").select("k", "lv", "rv").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(left, right, "k", n_salts=n_salts)
+            .select("k", "lv", "rv")
+            .collect(),
+        )
+    )
+    assert salted == plain
+
+
 @SLOW
 @given(
     st.lists(st.integers(0, 1000), min_size=1, max_size=20),

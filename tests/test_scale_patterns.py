@@ -124,6 +124,33 @@ def test_ivf_codebook_is_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_no_forced_broadcast_on_fact_scale_dims():
+    """customer and part scale with the fact tables at 100 TB: the TPC-H
+    queries must NOT carry an explicit broadcast hint on them (Catalyst
+    may still choose broadcast at tiny SF from stats — that's fine; the
+    bug is only the forced hint overriding autoBroadcastJoinThreshold).
+    Asserted on hint absence in the query source, not on join type."""
+    import inspect
+
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q14_promo_effect",
+        "q18_large_volume_customer",
+        "q19_discount_revenue",
+    ):
+        src = inspect.getsource(registry.QUERIES[name])
+        for forbidden in ("B(cat.customer", "B(cust", "B(cat.part", "B(part"):
+            assert forbidden not in src, (name, forbidden)
+
+
 def test_big_join_is_not_broadcast(spark):
     """lineitem must never be the broadcast side of a fact-fact join."""
     from hdsp_hive_release_src_spark.plans import explain_str
