@@ -70,11 +70,32 @@ _DUCK_SHINGLES = """
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
+# Document-frequency cap on shingles: a shingle shared by more than
+# MAX_SHINGLE_DF documents contributes O(df^2) candidate pairs to the
+# inverted-index self-join — one viral boilerplate line would explode
+# the join quadratically at corpus scale. Dropping ultra-common
+# shingles from the INDEX (not from the per-doc size n) bounds the
+# fan-out; pairs that only share boilerplate are below any useful
+# Jaccard threshold anyway. The cap is far above this corpus's max df,
+# so the test-scale result stays exact, and the oracle applies the
+# SAME cap so parity holds by construction at any scale.
+MAX_SHINGLE_DF = 1000
+
+# CTE mirroring the cap oracle-side; compose after _DUCK_SHINGLES.
+_DUCK_SH_CAPPED = f"""
+    shc AS (
+      SELECT sh.doc_id, sh.g FROM sh
+      JOIN (SELECT g FROM sh GROUP BY g
+            HAVING count(*) <= {MAX_SHINGLE_DF}) keep USING (g)
+    )
+"""
+
 _JACCARD_PAIRS_SQL = f"""
     WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
     pairs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT d1, d2,
            round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
@@ -118,10 +139,16 @@ def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~40% faster here; at 100 TB the shuffle-byte saving dominates).
     A 64-bit collision would need ~2^32 distinct shingles in one
     corpus to matter (birthday bound) — and even then only perturbs
-    one intersection count by 1. At 100 TB also add a document-
-    frequency cap on shingles (drop g with df > k) to bound hot-key
-    fan-out before the self-join; the planted near-dup structure
-    keeps this exact here.
+    one intersection count by 1.
+
+    Hot-shingle guard: index entries whose shingle appears in more
+    than MAX_SHINGLE_DF documents are dropped before the self-join
+    (df computed with one map-side-combined groupBy on the 8-byte
+    key; the resulting hot list is tiny — boilerplate shingles only —
+    so it broadcasts into a left_anti). Without this, one viral
+    shingle contributes df^2 candidate pairs and the join explodes
+    quadratically at corpus scale. Per-doc sizes n are computed
+    BEFORE the cap so the Jaccard denominator stays exact.
     """
     d = _parallel_docs(spark, sf_dir)
     sh = d.select("doc_id", word_shingles("text").alias("sh"))
@@ -130,7 +157,14 @@ def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh").alias("n"),
         F.explode(F.expr("transform(sh, g -> xxhash64(g))")).alias("g"),
     )
-    a, b = sized.alias("a"), sized.alias("b")
+    hot = (
+        sized.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("g")
+    )
+    capped = sized.join(F.broadcast(hot), "g", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(
             b,

@@ -21,6 +21,7 @@ from hdsp_hive_release_src_spark.functions.vectors import (
     to_double,
 )
 from hdsp_hive_release_src_spark.queries.llm import (
+    _DUCK_SH_CAPPED,
     _DUCK_SHINGLES,
     _jaccard_pairs_exact,
     _parallel_docs,
@@ -226,9 +227,10 @@ def length_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
     jpairs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
       SELECT d1, d2 FROM jpairs

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.queries.llm import (
+    _DUCK_SH_CAPPED,
     _DUCK_SHINGLES,
     _jaccard_pairs_exact,
 )
@@ -51,9 +52,10 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_filter_pipeline",
     oracle=f"""
     WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
     jp AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     dups AS (
       SELECT DISTINCT d2 FROM jp
