@@ -1,67 +1,69 @@
 """Distributed Lloyd k-means over an array<double> column.
 
 The canonical iterative-algorithm shape on Spark: per iteration the
-corpus is scanned ONCE (assignment against a broadcast codebook), the
-new codebook is a per-(cluster, dim) average — a mergeable aggregation
-— and only the k×dim codebook ever reaches the driver (legitimate at
-any corpus scale; k is small by construction). No rand(): the initial
-codebook is a deterministic modulo sample, so reruns and retries
-produce identical clusterings.
+corpus is scanned ONCE, and assignment is a pure map-side expression —
+the k current centroids are embedded as literals, so finding the
+nearest centroid is an array_min over k (distance, cid) structs with
+NO join and NO shuffle. The only shuffle per iteration is the centroid
+update, a per-(cluster, dim) average whose map-side partial
+aggregation collapses each partition to at most k×dim rows before the
+exchange. Only the k×dim codebook ever reaches the driver (legitimate
+at any corpus scale; k is small by construction).
+
+No rand(): seeding takes the k rows with the smallest
+md5(cast(id as string)) — a pseudo-random but deterministic spread that
+both reruns and the DuckDB oracle reproduce exactly, and a fixed k
+rows to the driver regardless of corpus size (a modulo sample would
+collect corpus/k rows — a driver OOM at 100 TB).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.functions.vectors import dot
 
 
-def _sq_dist(v, c):
-    # |v|² - 2v·c + |c|² ranks identically to true distance for a
-    # FIXED v; the |v|² term can't change the argmin, so rank on
-    # -2v·c + |c|² and skip one fold per pair.
-    return -2 * dot(v, c) + dot(c, c)
+def _nearest_cid(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Map-only argmin: |v|² - 2v·c + |c|² ranks identically to true
+    distance for a FIXED v, so rank on -2v·c + |c|² with the |c|² term
+    precomputed driver-side. Ties break to the lowest cid via struct
+    ordering inside array_min."""
+    structs = []
+    for cid, c in centroids:
+        c_arr = F.array(*[F.lit(float(x)) for x in c])
+        d = -2 * dot(F.col(vec_col), c_arr) + F.lit(
+            float(sum(x * x for x in c))
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*structs))["cid"]
 
 
 def kmeans(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "v",
-    init_mod: int = 25,
+    k: int = 20,
     iterations: int = 3,
 ) -> DataFrame:
     """Return (id_col, cluster) assignments after ``iterations`` Lloyd
-    rounds, seeded with rows where ``id % init_mod == 0``."""
-    spark = vectors.sparkSession
+    rounds, seeded with the ``k`` rows whose md5-hashed id sorts first
+    (cid = rank in that hash order)."""
     n = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    centroids = [
-        (i, row.v)
-        for i, row in enumerate(
-            n.where(F.col("vid") % init_mod == 0)
-            .orderBy("vid")
-            .collect()
-        )
-    ]
+    seed_rows = (
+        n.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(row.v)) for i, row in enumerate(seed_rows)]
     assign = None
-    for _ in range(iterations):
-        cent_df = F.broadcast(
-            spark.createDataFrame(
-                centroids, "cid int, c array<double>"
-            )
-        )
-        w = Window.partitionBy("vid").orderBy("d", "cid")
-        assign = (
-            n.join(cent_df)
-            .select(
-                "vid", "v", "cid", _sq_dist(F.col("v"), F.col("c")).alias("d")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "v", "cid")
-        )
+    for it in range(iterations):
+        assign = n.withColumn("cid", _nearest_cid("v", centroids))
+        if it == iterations - 1:
+            break  # the final codebook update would never be read
         new_cent = (
             assign.select(
                 "cid", F.posexplode("v").alias("dim", "val")
@@ -80,7 +82,7 @@ def kmeans(
             )
             .collect()
         )
-        centroids = [(r.cid, r.c) for r in new_cent]
+        centroids = [(r.cid, list(r.c)) for r in new_cent]
     return assign.select(
         F.col("vid").alias(id_col), F.col("cid").alias("cluster")
     )

@@ -26,14 +26,76 @@ from hdsp_hive_release_src_spark.registry import query
 B = F.broadcast
 
 
-@query("kmeans_clusters")  # iterative; float-tie-free only in tests
+def _kmeans_oracle_sql(k: int = 20, iterations: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd k-means as DuckDB CTEs: md5-ranked seeding, then
+    per iteration a CROSS JOIN against the ≤k centroids with a
+    row_number argmin (ties -> lowest cid, matching the Spark struct
+    ordering) and a per-(cid, dim) average rebuild. Exact replay of the
+    operator; centroid averages differ only in double summation order,
+    which cannot flip an argmin on the well-separated corpus."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i]))"
+        )
+
+    ctes = [
+        """emb AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)""",
+        f"""cent0 AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             v
+      FROM (SELECT * FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))""",
+    ]
+    for t in range(iterations):
+        ctes.append(
+            f"""d{t} AS (
+      SELECT e.vec_id, e.v, s.cid,
+             -2 * {dot('e.v', 's.v')}
+               + list_sum(list_transform(s.v, x -> x * x)) AS d
+      FROM emb e CROSS JOIN cent{t} s)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d{t}) WHERE rn = 1)"""
+        )
+        if t < iterations - 1:
+            ctes.append(
+                f"""m{t} AS (
+      SELECT cid, i, avg(v[i]) AS m
+      FROM a{t}, range(1, {dim + 1}) r{t}(i) GROUP BY cid, i)"""
+            )
+            ctes.append(
+                f"""cent{t + 1} AS (
+      SELECT cid, list(m ORDER BY i) AS v FROM m{t} GROUP BY cid)"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members
+    FROM a{iterations - 1} GROUP BY cid ORDER BY cluster"""
+    )
+
+
+@query("kmeans_clusters", oracle=_kmeans_oracle_sql())
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means (3 iterations, deterministic mod-25
-    seeding) over the embeddings — the iterative-algorithm class
-    (driver sees only the k×64 codebook per round; corpus scanned once
-    per iteration). Rows-only for the driver (unrolling 3 Lloyd rounds
-    in SQL is impractical); tests verify the clustering against an
-    independent numpy implementation at sf0.001."""
+    """Distributed Lloyd k-means (3 iterations, deterministic k=20
+    md5-ranked seeding) over the embeddings — the iterative-algorithm
+    class (driver sees only the k×64 codebook per round; corpus scanned
+    once per iteration; assignment is a map-only literal-codebook
+    expression, so the only per-round shuffle is the k×dim partial-agg
+    centroid update). The oracle replays all 3 Lloyd rounds as unrolled
+    DuckDB CTEs; tests additionally verify against an independent numpy
+    implementation at sf0.001."""
     from hdsp_hive_release_src_spark.functions.vectors import to_double
     from hdsp_hive_release_src_spark.operators.kmeans import kmeans
 

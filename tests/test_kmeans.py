@@ -6,21 +6,32 @@ import numpy as np
 from pyspark.sql import functions as F
 
 
-def _numpy_kmeans(X, ids, init_mod=25, iterations=3):
-    seeds = X[ids % init_mod == 0]
-    # seed order: ascending id, matching the operator
-    order = np.argsort(ids[ids % init_mod == 0])
-    cent = seeds[order].astype(np.float64)
+def _numpy_kmeans(X, ids, k=20, iterations=3):
+    import hashlib
+
+    # seed rule shared with the operator: k smallest md5(str(id)),
+    # cid = rank in that hash order (md5 here is stdlib, fully
+    # independent of Spark's implementation)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(ids[i]).encode()).hexdigest(),
+            ids[i],
+        ),
+    )[:k]
+    cent = X[order].astype(np.float64)
     assign = None
-    for _ in range(iterations):
+    for it in range(iterations):
         # rank by -2 v·c + |c|²; ties -> lowest cid (argmin is first)
         d = -2 * X @ cent.T + (cent * cent).sum(axis=1)
         assign = d.argmin(axis=1)
+        if it == iterations - 1:
+            break
         cent = np.stack(
             [
-                X[assign == k].mean(axis=0) if (assign == k).any()
-                else cent[k]
-                for k in range(len(cent))
+                X[assign == c].mean(axis=0) if (assign == c).any()
+                else cent[c]
+                for c in range(len(cent))
             ]
         )
     return assign
