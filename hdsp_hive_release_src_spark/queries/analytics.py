@@ -444,7 +444,7 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-           TRUE AS approx_within_5pct
+           TRUE AS approx_within_8pct
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -454,8 +454,10 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The HLL estimate itself is impl-defined, so the deterministic output
     is the EXACT count plus a Spark-computed boolean asserting the sketch
-    landed within 5% of it; the oracle computes the exact count and a
-    literal TRUE — full hash-match without pinning HLL internals."""
+    landed within 8% of it (4× the rsd=0.02 — a 5% band is only ~2.5σ
+    and could flip the whole row to FAIL on an unlucky dataset); the
+    oracle computes the exact count and a literal TRUE — full hash-match
+    without pinning HLL internals."""
     li = Catalog(spark, sf_dir).lineitem
     return (
         li.groupBy("l_returnflag")
@@ -468,8 +470,8 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_parts",
             (
                 F.abs(F.col("_approx") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
-            ).alias("approx_within_5pct"),
+                <= 0.08 * F.col("exact_parts")
+            ).alias("approx_within_8pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -1,0 +1,200 @@
+"""Hive-surface gaps (public Hive idioms the round-2 review ranked by
+real-user hit frequency): percentile_approx — the at-scale quantile —
+LATERAL VIEW json_tuple — the multi-key JSON accessor — a registered
+Python UDTF behind LATERAL, and the SHOW PARTITIONS / DESCRIBE
+metadata surface.
+
+Oracle pattern for the sketch query: the approximate value itself is
+impl-defined, so the deterministic output is the EXACT quantile plus a
+Spark-computed boolean asserting the sketch landed within tolerance;
+the oracle computes the exact quantile and a literal TRUE (cf.
+approx_distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+           TRUE AS approx_within_2pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentile_approx_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """percentile_approx (KLL-style mergeable quantile sketch) — the
+    100 TB quantile: one pass, fixed-size state, map-side mergeable,
+    vs exact percentile's full sort/expand. accuracy=10000 bounds rank
+    error to n/10000 per group, far inside the 2% value tolerance
+    asserted here (the planted price distribution has no heavy atoms).
+    """
+    li = Catalog(spark, sf_dir).lineitem
+
+    def pa(p: float) -> F.Column:
+        return F.expr(
+            f"percentile_approx(l_extendedprice, {p}, 10000)"
+        )
+
+    def pe(p: float) -> F.Column:
+        return F.expr(f"percentile(l_extendedprice, {p})")
+
+    within = (
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.02 * F.col("_e50"))
+        & (F.abs(F.col("_a90") - F.col("_e90")) <= 0.02 * F.col("_e90"))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pe(0.5).alias("_e50"),
+            pe(0.9).alias("_e90"),
+            pa(0.5).alias("_a50"),
+            pa(0.9).alias("_a90"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("_e50", 4).alias("exact_p50"),
+            F.round("_e90", 4).alias("exact_p90"),
+            within.alias("approx_within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "json_tuple",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(json_extract_string(props, '$.missing'))
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_tuple_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive LATERAL VIEW json_tuple: one parse extracting N keys per
+    row (vs N get_json_object re-parses) — map-only, and the absent
+    key exercises the NULL path. Run as raw HiveQL: the LATERAL VIEW
+    syntax itself is the surface under test."""
+    Catalog(spark, sf_dir).events.createOrReplaceTempView(
+        "events_jt_src"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(jt.k AS BIGINT)) AS sum_k,
+               count(jt.missing) AS n_missing
+        FROM events_jt_src
+        LATERAL VIEW json_tuple(props, 'k', 'missing') jt AS k, missing
+        GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    SELECT i - 1 AS pos, count(*) AS n,
+           CAST(count(DISTINCT ws[i]) AS BIGINT) AS n_distinct
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+         range(1, 6) r(i)
+    WHERE i <= len(ws)
+    GROUP BY pos ORDER BY pos
+    """,
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive custom-UDTF registration: a Python table function
+    (CREATE FUNCTION → LATERAL VIEW in Hive terms) registered and
+    invoked from SQL via LATERAL. Covers the registration surface the
+    built-in explode variants can't; the docstring caveat stands — a
+    row-based Python UDTF is the slow path, so production pipelines
+    should prefer explode/posexplode (see lateral_explode_tokens) and
+    reserve UDTFs for genuinely procedural generators."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    Catalog(spark, sf_dir).documents.createOrReplaceTempView(
+        "udtf_docs_src"
+    )
+    return spark.sql(
+        """
+        SELECT pos, count(*) AS n,
+               count(DISTINCT token) AS n_distinct
+        FROM udtf_docs_src, LATERAL split_words_udtf(text)
+        WHERE pos < 5 GROUP BY pos ORDER BY pos
+        """
+    )
+
+
+@query(
+    "show_partitions",
+    oracle="""
+    SELECT DISTINCT 'l_returnflag=' || l_returnflag AS "partition"
+    FROM lineitem ORDER BY 1
+    """,
+)
+def show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive metadata surface: SHOW PARTITIONS on a partitioned catalog
+    table. The oracle derives the same partition list from the data, so
+    the check proves the catalog's partition discovery matches reality.
+    """
+    import shutil
+
+    li = Catalog(spark, sf_dir).lineitem
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS sp_lineitem")
+    shutil.rmtree(f"{warehouse}/sp_lineitem", ignore_errors=True)
+    (
+        li.select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.partitionBy("l_returnflag")
+        .saveAsTable("sp_lineitem")
+    )
+    return spark.sql("SHOW PARTITIONS sp_lineitem").orderBy("partition")
+
+
+@query(
+    "describe_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'),
+      ('l_suppkey', 'bigint'), ('l_linenumber', 'int'),
+      ('l_quantity', 'double'), ('l_extendedprice', 'double'),
+      ('l_discount', 'double'), ('l_tax', 'double'),
+      ('l_returnflag', 'string'), ('l_linestatus', 'string'),
+      ('l_shipdate', 'timestamp_ntz')) t(col_name, data_type)
+    ORDER BY col_name
+    """,
+)
+def describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive metadata surface: DESCRIBE. The oracle pins the expected
+    column/type inventory, so the check proves the catalog reports the
+    true parquet schema (the contract every downstream tool reads)."""
+    Catalog(spark, sf_dir).lineitem.createOrReplaceTempView(
+        "desc_lineitem_src"
+    )
+    return (
+        spark.sql("DESCRIBE TABLE desc_lineitem_src")
+        .select("col_name", "data_type")
+        .orderBy("col_name")
+    )

@@ -148,6 +148,162 @@ def csv_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN 0.0
+                          ELSE l_discount END), 4) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive's daily-ETL idiom: INSERT OVERWRITE of ONE partition.
+    partitionOverwriteMode=dynamic replaces only the partitions present
+    in the incoming frame — here the 'R' partition is rewritten with
+    zeroed discounts while 'A'/'N' must survive untouched. The read-back
+    aggregates ALL partitions, so the oracle (original table with only
+    R's discounts zeroed) fails if the overwrite either missed R or
+    clobbered the siblings (static mode would leave R only). At 100 TB
+    this is how a day's partition is re-stated without touching the
+    other ~3650."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    li = Catalog(spark, sf_dir).lineitem
+    path = scratch_path("dynpart_lineitem", sf_dir)
+    # rebuild the base table each run so the query is idempotent
+    shutil.rmtree(path, ignore_errors=True)
+    li.write.partitionBy("l_returnflag").parquet(path)
+
+    restated = li.where(F.col("l_returnflag") == "R").withColumn(
+        "l_discount", F.lit(0.0)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "multi_insert",
+    oracle="""
+    WITH hi AS (SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+                FROM orders WHERE o_totalprice > 300000),
+    lo AS (SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+           FROM orders WHERE o_totalprice <= 50000)
+    SELECT 'high' AS bucket, n, total FROM hi
+    UNION ALL SELECT 'low' AS bucket, n, total FROM lo
+    ORDER BY bucket
+    """,
+)
+def multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert: FROM src INSERT OVERWRITE t1 ... INSERT
+    OVERWRITE t2 ... — one statement fanning a single source scan into
+    several sinks. The statement itself is the surface under test (run
+    as raw HiveQL); both sinks are read back and summarized so the
+    oracle checks what actually landed in each."""
+    import shutil
+
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("mi_orders_src")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in ("mi_high", "mi_low"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        spark.sql(
+            f"CREATE TABLE {t} (o_orderkey BIGINT, o_totalprice DOUBLE)"
+            " USING parquet"
+        )
+    spark.sql(
+        """
+        FROM mi_orders_src
+        INSERT OVERWRITE TABLE mi_high
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice > 300000
+        INSERT OVERWRITE TABLE mi_low
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice <= 50000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT 'high' AS bucket, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total FROM mi_high
+        UNION ALL
+        SELECT 'low' AS bucket, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total FROM mi_low
+        ORDER BY bucket
+        """
+    )
+
+
+@query(
+    "regex_serde_parse",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def regex_serde_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive RegexSerDe-style text ingestion: events are serialized to
+    pipe-delimited log lines, read back as raw text, and re-parsed with
+    regexp_extract into typed columns (the pattern for reading legacy
+    log formats without a SerDe jar). Doubles survive the text round
+    trip via Spark's shortest-repr cast; the oracle aggregates the
+    ORIGINAL table, so any parse loss breaks parity."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    ev = Catalog(spark, sf_dir).events
+    path = scratch_path("regex_serde_events", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        ev.select(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("string"),
+            ).alias("value")
+        ).write.text(path)
+    )
+    raw = spark.read.text(path)
+    pat = r"^(\d+)\|([a-z_]+)\|(.*)$"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("event_id"),
+        F.regexp_extract("value", pat, 2).alias("event_type"),
+        F.regexp_extract("value", pat, 3).cast("double").alias("value"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "partitioned_sink_prune",
     oracle="""
     SELECT l_linestatus, count(*) AS n,
