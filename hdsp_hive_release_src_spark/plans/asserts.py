@@ -12,8 +12,20 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    try:
+        jdf = df._jdf  # classic: exact explain string via the JVM handle
+    except AttributeError:
+        # Spark Connect DataFrames carry no _jdf; capture the public
+        # explain() output instead (same content, printed not returned)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
+        jdf.queryExecution(), mode
     )
 
 

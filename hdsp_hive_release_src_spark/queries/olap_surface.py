@@ -62,10 +62,12 @@ def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_set_ops",
     oracle="""
     SELECT p_partkey,
-           array_to_string(list_sort(list_distinct(ws || [p_brand])), ',') AS u,
-           array_to_string(list_sort(list_intersect(ws, ws[1:2])), ',') AS i,
+           array_to_string(list_sort(list_distinct(ws || [p_brand])),
+                           chr(31)) AS u,
+           array_to_string(list_sort(list_intersect(ws, ws[1:2])),
+                           chr(31)) AS i,
            array_to_string(list_sort(list_filter(list_distinct(ws),
-                     x -> NOT list_contains(ws[1:1], x))), ',') AS e,
+                     x -> NOT list_contains(ws[1:1], x))), chr(31)) AS e,
            CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
            list_contains(ws, 'green') AS has_green
     FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ') AS ws
@@ -77,7 +79,11 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-operation family: union/intersect/except/distinct/
     contains — outputs sorted AND joined to strings so engine-internal
     set order can't leak into the comparison and driver-side pandas
-    canonicalization never sees an unhashable list cell."""
+    canonicalization never sees an unhashable list cell. Joined with
+    the unit separator (U+001F), which cannot occur in the word data —
+    a ',' join would silently collide if an element ever contained a
+    comma."""
+    SEP = ""
     p = Catalog(spark, sf_dir).part
     ws = F.split("p_name", " ")
     return (
@@ -85,13 +91,13 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.concat_ws(
-                ",", F.array_sort(F.array_union(ws, F.array(F.col("p_brand"))))
+                SEP, F.array_sort(F.array_union(ws, F.array(F.col("p_brand"))))
             ).alias("u"),
             F.concat_ws(
-                ",", F.array_sort(F.array_intersect(ws, F.slice(ws, 1, 2)))
+                SEP, F.array_sort(F.array_intersect(ws, F.slice(ws, 1, 2)))
             ).alias("i"),
             F.concat_ws(
-                ",", F.array_sort(F.array_except(ws, F.slice(ws, 1, 1)))
+                SEP, F.array_sort(F.array_except(ws, F.slice(ws, 1, 1)))
             ).alias("e"),
             F.size(F.array_distinct(ws)).alias("n_distinct"),
             F.array_contains(ws, "green").alias("has_green"),

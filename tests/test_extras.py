@@ -26,6 +26,28 @@ def test_try_arithmetic_null_semantics(spark, sf_dir):
     assert row.n_brand_ids == row.n_rows  # every brand has a numeric tail
 
 
+def test_try_divide_zero_denominator_constructed(spark):
+    # the parquet data has no p_size=0, so force the /0 branch with
+    # constructed rows: try_divide must yield NULL, never raise
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(10.0, 0), (10.0, 2), (None, 0)], "num double, den int"
+    )
+    got = [
+        r.q
+        for r in df.select(
+            F.try_divide("num", "den").alias("q")
+        ).collect()
+    ]
+    assert got == [None, 5.0, None]
+    r = spark.sql(
+        "SELECT try_cast('x12' AS INT) AS a, try_divide(1, 0) AS b,"
+        " try_add(9223372036854775807, 1) AS c"
+    ).collect()[0]
+    assert r.a is None and r.b is None and r.c is None
+
+
 def test_oracle_parity(spark, sf_dir, duck):
     for name in NAMES:
         df = QUERIES[name](spark, sf_dir)
@@ -33,12 +55,16 @@ def test_oracle_parity(spark, sf_dir, duck):
 
 
 def test_band_join_is_not_cartesian(spark, sf_dir):
-    plan = QUERIES["band_join_order_pairs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    plan = explain_str(QUERIES["band_join_order_pairs"](spark, sf_dir), "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_listagg_broadcasts_nation(spark, sf_dir):
-    plan = QUERIES["listagg_sorted"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    plan = explain_str(QUERIES["listagg_sorted"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
 
 
