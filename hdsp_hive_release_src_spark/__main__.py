@@ -5,9 +5,12 @@
         [--sf-dir /root/testdata/sf0.01] [--limit 20]
     python -m hdsp_hive_release_src_spark explain q5_local_supplier_volume
     python -m hdsp_hive_release_src_spark sql "SELECT count(*) FROM lineitem"
+    python -m hdsp_hive_release_src_spark describe lineitem
+    python -m hdsp_hive_release_src_spark tables
 
 `sql` registers every table in --sf-dir as a temp view first, so raw
-HiveQL/Spark-SQL strings work against the catalog directly.
+HiveQL/Spark-SQL strings work against the catalog directly. `describe`
+and `tables` are the Hive metadata surface (DESCRIBE / SHOW TABLES).
 """
 
 from __future__ import annotations
@@ -40,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sql.add_argument("query")
     p_sql.add_argument("--limit", type=int, default=20)
+    p_desc = sub.add_parser(
+        "describe", help="DESCRIBE a catalog table", parents=[common]
+    )
+    p_desc.add_argument("table")
+    sub.add_parser(
+        "tables", help="list catalog tables (SHOW TABLES)", parents=[common]
+    )
     args = ap.parse_args(argv)
 
     from hdsp_hive_release_src_spark import registry
@@ -68,11 +78,18 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.limit, truncate=False)
         return 0
 
-    if args.cmd == "sql":
+    if args.cmd in ("sql", "describe", "tables"):
         from hdsp_hive_release_src_spark.catalog import Catalog
 
         Catalog(spark, args.sf_dir).register_views()
-        spark.sql(args.query).show(args.limit, truncate=False)
+        if args.cmd == "sql":
+            spark.sql(args.query).show(args.limit, truncate=False)
+        elif args.cmd == "describe":
+            spark.sql(f"DESCRIBE TABLE {args.table}").show(
+                100, truncate=False
+            )
+        else:
+            spark.sql("SHOW TABLES").show(100, truncate=False)
         return 0
 
     return 2
