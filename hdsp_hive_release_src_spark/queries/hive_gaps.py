@@ -146,6 +146,99 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_register",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udaf_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive CREATE AGGREGATE FUNCTION parity: a pandas grouped-agg UDF
+    (Arrow batch in, scalar out — the vectorized UDAF shape) registered
+    under a SQL name and called with GROUP BY from a SQL string. The
+    geometric mean is exp(mean(ln x)), so the oracle replays it with
+    builtins; round(4) absorbs summation-order noise. The UDF lives in
+    functions/udafs.py: pandas_udf needs REAL type hints (Series ->
+    scalar marks it grouped-agg), which this module's postponed
+    annotations would stringify."""
+    from hdsp_hive_release_src_spark.functions.udafs import geo_mean
+
+    spark.udf.register("geo_mean_udaf", geo_mean)
+    Catalog(spark, sf_dir).lineitem.createOrReplaceTempView(
+        "udaf_lineitem_src"
+    )
+    # NOTE: a grouped-agg pandas UDF cannot share an Aggregate with
+    # JVM aggregates (INVALID_PANDAS_UDF_PLACEMENT), so it aggregates
+    # alone here
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(geo_mean_udaf(l_extendedprice), 4)
+                   AS geo_mean_price
+        FROM udaf_lineitem_src
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, n_tokens,
+             (sum(n_tokens) OVER w - n_tokens) // 256 AS bin_id
+      FROM toks
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing (concat-and-chunk): documents
+    are concatenated in arrival order within each source shard and cut
+    into 256-token context bins; a doc's bin is where its first token
+    lands (floor division — DuckDB's // mirrors Spark's long cast,
+    which truncates where a plain CAST(double) would round). Window
+    cumsum per shard — shards pack in parallel, no global sort (the
+    per-shard window is the scale unit, matching how packing runs per
+    input shard in production pipelines)."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
     "show_partitions",
     oracle="""
     SELECT DISTINCT 'l_returnflag=' || l_returnflag AS "partition"

@@ -130,3 +130,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates ≡ batch COUNT(DISTINCT) after the
     order-insensitive rollup."""
     return jobs.stream_distinct(spark, sf_dir)
+
+
+@query(
+    "stream_late_data",
+    oracle="""
+    WITH mx AS (SELECT date_trunc('day', max(CAST(ts AS TIMESTAMP)))
+                    AS max_day FROM events)
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events, mx
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03'
+      AND date_trunc('day', CAST(ts AS TIMESTAMP)) < max_day
+    GROUP BY day ORDER BY day
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop, deterministically replayed (two
+    ordered files, maxFilesPerTrigger=1): the pre-cutoff rows arrive
+    after the watermark has passed them and MUST be excluded, and the
+    still-open last-day window MUST be withheld (append mode). The
+    oracle encodes exactly that expectation from the batch table."""
+    return jobs.late_data_windowed(spark, sf_dir)

@@ -61,12 +61,16 @@ _VERIFY_FIRST = (
     "explode_outer_empty", "arrays_zip_explode",
     # new this round
     "percentile_approx", "json_tuple", "udtf_lateral",
-    "show_partitions", "describe_table",
+    "show_partitions", "describe_table", "udaf_register",
+    "sequence_packing", "stream_late_data",
     # never driver-checked singles + changed-this-round re-checks
+    # (dedup_minhash_lsh / dedup_components / quality_filter_pipeline
+    # follow right after the window: r2-green, value-identical change,
+    # re-verified by the local gate replica this round)
     "string_funcs_extended", "stream_dedup", "collect_agg",
     "approx_distinct", "q12_priority_shipping", "kmeans_clusters",
-    "quality_filter_pipeline", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_components", "skew_salted_join_agg",
+    "dedup_ngram_jaccard", "skew_salted_join_agg",
+    "dedup_minhash_lsh", "dedup_components", "quality_filter_pipeline",
 )
 
 

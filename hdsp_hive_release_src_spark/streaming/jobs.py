@@ -236,3 +236,76 @@ def stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+def late_data_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, made DETERMINISTIC: the events
+    table is split into three parquet files — bulk on-time rows
+    (day 2 ≤ ts < day 28), tail on-time rows (ts ≥ day 28), and late
+    rows (ts < day 2) — replayed oldest-file-first with
+    maxFilesPerTrigger=1. Spark filters batch N's late records with the
+    watermark committed after batch N-2 (eviction uses N-1's), so the
+    tail batch sits between the watermark-raising bulk and the late
+    arrivals: by batch 3 the filtering watermark is ~day 27 and every
+    late row MUST be dropped (numRowsDroppedByWatermark — verified in
+    tests). Append mode emits only watermark-finalized windows, so the
+    still-open last day stays withheld. The oracle therefore expects
+    exactly: day counts over on-time rows for every day strictly
+    before the max day."""
+    import os
+    import shutil
+
+    from hdsp_hive_release_src_spark.catalog import Catalog
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cutoff = "2024-01-03"
+    tail = "2024-01-28"
+    src = scratch_path("late_stream_src", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    now = __import__("time").time()
+    for tag, frame, age in (
+        (
+            "b1_bulk",
+            ev.where(
+                (F.col("ts") >= F.lit(cutoff)) & (F.col("ts") < F.lit(tail))
+            ),
+            100,
+        ),
+        ("b2_tail", ev.where(F.col("ts") >= F.lit(tail)), 70),
+        ("b3_late", ev.where(F.col("ts") < F.lit(cutoff)), 40),
+    ):
+        tmp = f"{src}/_{tag}_tmp"
+        frame.coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        dst = f"{src}/{tag}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - age, now - age))  # oldest-first replay order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = run_to_memory(agg, "append", "late_data")
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("day"), "n", "total_value"
+        )
+        .orderBy("day")
+    )
