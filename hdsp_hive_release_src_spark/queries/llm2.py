@@ -223,39 +223,15 @@ def length_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_DUCK_SHINGLES},
-    {_DUCK_SH_CAPPED},
-    jpairs AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT d1, d2 FROM jpairs
-      JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-      WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-              UNION ALL SELECT d2, d1 FROM pairs),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-    SELECT component, CAST(count(*) AS BIGINT) AS n_members,
-           array_to_string(list_sort(list(id)), ',') AS members
-    FROM comp GROUP BY component ORDER BY component
-    """,
-)
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the Jaccard ≥ 0.5
+def near_dup_component_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(id, lbl) labels: connected components over the Jaccard ≥ 0.5
     pair graph via iterative min-label propagation (the distributed
     fixpoint loop — each round is one join + one min-agg, converging in
     O(component diameter) rounds; near-dup clusters are shallow). At
-    100 TB swap in large-star/small-star to bound message fan-out; the
-    oracle computes the same fixpoint as a recursive CTE."""
+    100 TB swap in large-star/small-star to bound message fan-out.
+    Shared by dedup_components and dedup_keep_best."""
     pairs = _jaccard_pairs_exact(spark, sf_dir).select("d1", "d2")
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
@@ -284,6 +260,39 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
+    jpairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM jpairs
+      JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(id)), ',') AS members
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters rolled up per component; the oracle computes
+    the same fixpoint as a recursive CTE."""
+    labels = near_dup_component_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(

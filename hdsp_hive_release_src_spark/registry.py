@@ -62,13 +62,14 @@ _VERIFY_FIRST = (
     # new this round
     "percentile_approx", "json_tuple", "udtf_lateral",
     "show_partitions", "describe_table", "udaf_register",
-    "sequence_packing", "stream_late_data",
+    "sequence_packing", "stream_late_data", "decontaminate_ngrams",
+    "dedup_keep_best", "training_shard_manifest",
     # never driver-checked singles + changed-this-round re-checks
     # (dedup_minhash_lsh / dedup_components / quality_filter_pipeline
     # follow right after the window: r2-green, value-identical change,
     # re-verified by the local gate replica this round)
-    "string_funcs_extended", "stream_dedup", "collect_agg",
-    "approx_distinct", "q12_priority_shipping", "kmeans_clusters",
+    "string_funcs_extended", "stream_dedup", "q12_priority_shipping",
+    "kmeans_clusters", "approx_distinct", "collect_agg",
     "dedup_ngram_jaccard", "skew_salted_join_agg",
     "dedup_minhash_lsh", "dedup_components", "quality_filter_pipeline",
 )
@@ -83,6 +84,7 @@ def load_all() -> None:
         llm,
         llm2,
         llm3,
+        llm4,
         streaming,
         sources,
         events,
