@@ -396,9 +396,19 @@ _DUCK_COSINE = """
     """,
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise cosine ≥ 0.45 near-dup pairs. Intentionally the
-    exact O(n²) baseline (oracle-matched); `ann_lsh_topk` is the
-    bucketed scale path."""
+    """Exact pairwise cosine ≥ 0.45 near-dup pairs — intentionally the
+    exact O(n²) baseline (oracle-matched).
+
+    Why no LSH here: at τ=0.45 random-hyperplane banding cannot prune.
+    A near-threshold pair collides per 4-plane band with
+    (1 - acos(0.45)/π)^4 ≈ 0.18, so ~48 bands are needed for 1e-4
+    recall loss — but at 48 bands an UNRELATED pair (cos≈0, per-band
+    0.5^4) still collides with 1-(1-0.0625)^48 ≈ 0.95, i.e. nearly
+    every pair becomes a candidate and the "pruned" join degenerates
+    to the cross join plus banding overhead. Hyperplane LSH only pays
+    above τ≈0.7. The production scale paths are `ann_lsh_topk`
+    (top-k, not threshold) and raising τ; this query is the exact
+    twin that verifies them."""
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", to_double("embedding").alias("v")
     )

@@ -151,6 +151,56 @@ def test_no_forced_broadcast_on_fact_scale_dims():
             assert forbidden not in src, (name, forbidden)
 
 
+def test_decontaminate_eval_set_is_broadcast_semi(spark):
+    """The eval gram set must broadcast into a left_semi — the training
+    corpus must never shuffle for the contamination check."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["decontaminate_ngrams"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "simple")
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines and all(
+        "BroadcastHashJoin" in ln for ln in semi_lines
+    ), plan
+
+
+def test_kmeans_assignment_is_join_free(spark):
+    """The literal-codebook argmin must be map-only: no Join node and
+    no per-row window in the final assignment plan (the only exchanges
+    belong to the output aggregation)."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["kmeans_clusters"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_jaccard_hot_shingle_cap_is_broadcast_anti(spark):
+    """The df-cap's hot-shingle list must broadcast into a left_anti —
+    capping may not add a corpus-scale shuffle."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_ngram_jaccard"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "simple")
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in ln for ln in anti_lines
+    ), plan
+
+
 def test_big_join_is_not_broadcast(spark):
     """lineitem must never be the broadcast side of a fact-fact join."""
     from hdsp_hive_release_src_spark.plans import explain_str
