@@ -267,6 +267,102 @@ def show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "full_outer_join",
+    oracle="""
+    WITH urgent AS (
+      SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                  AS TIMESTAMP) AS day, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY day),
+    big AS (
+      SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                  AS TIMESTAMP) AS day, count(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY day)
+    SELECT coalesce(u.day, b.day) AS day,
+           coalesce(n_urgent, 0) AS n_urgent,
+           coalesce(n_big, 0) AS n_big,
+           (u.day IS NULL OR b.day IS NULL) AS one_sided
+    FROM urgent u FULL OUTER JOIN big b ON u.day = b.day
+    ORDER BY day
+    """,
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN (the one outer-join flavor the other queries
+    don't cover): days with urgent orders ⟗ days with big-ticket
+    orders — days on one side only surface with NULLs, coalesced to 0,
+    and the one_sided flag proves both unmatched branches occur. At
+    scale a full outer join shuffles both sides on the key (no
+    broadcast shortcut exists for FULL OUTER in Spark) — keep keys
+    low-cardinality-skew-free; AQE handles the rest."""
+    o = Catalog(spark, sf_dir).orders
+    day = F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(day.alias("u_day"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    big = (
+        o.where(F.col("o_totalprice") > 400000)
+        .groupBy(day.alias("b_day"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    j = urgent.join(big, urgent.u_day == big.b_day, "full_outer")
+    return (
+        j.select(
+            F.coalesce("u_day", "b_day").alias("day"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+            (F.col("u_day").isNull() | F.col("b_day").isNull()).alias(
+                "one_sided"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "msck_repair_discovery",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def msck_repair_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive partition-discovery ops surface: an EXTERNAL table is
+    declared over an already-populated partitioned directory (written
+    out-of-band, as a backfill job would), its partitions registered
+    with MSCK REPAIR TABLE, and the repaired table queried across all
+    partitions. Value parity vs the original table proves discovery
+    found every partition — the `MSCK REPAIR` + external-location flow
+    is how 100 TB Hive warehouses onboard data written by other
+    engines."""
+    from hdsp_hive_release_src_spark.sources.io import write_partitioned
+
+    li = Catalog(spark, sf_dir).lineitem
+    path = write_partitioned(li, "l_returnflag", "msck_lineitem", sf_dir)
+    spark.sql("DROP TABLE IF EXISTS msck_lineitem")
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in li.schema.fields
+        if f.name != "l_returnflag"
+    )
+    spark.sql(
+        f"CREATE TABLE msck_lineitem ({cols}) USING parquet"
+        f" PARTITIONED BY (l_returnflag STRING) LOCATION '{path}'"
+    )
+    spark.sql("MSCK REPAIR TABLE msck_lineitem")
+    return (
+        spark.table("msck_lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "describe_table",
     oracle="""
     SELECT * FROM (VALUES
