@@ -256,6 +256,46 @@ def multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "insert_overwrite_directory",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def insert_overwrite_directory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive INSERT OVERWRITE DIRECTORY: SQL writes query output
+    straight to a filesystem path — no table object — the hand-off
+    idiom to downstream non-SQL consumers. The export is read back and
+    aggregated; parity vs the source table proves it is lossless."""
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    Catalog(spark, sf_dir).orders.createOrReplaceTempView(
+        "iod_orders_src"
+    )
+    path = scratch_path("iod_export", sf_dir)
+    spark.sql(
+        f"""
+        INSERT OVERWRITE DIRECTORY '{path}' USING parquet
+        SELECT o_orderpriority, o_totalprice
+        FROM iod_orders_src WHERE o_orderstatus = 'F'
+        """
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "regex_serde_parse",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS total

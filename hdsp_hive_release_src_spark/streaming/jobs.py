@@ -42,11 +42,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+LAST_PROGRESS: list[dict] = []  # per-batch progress of the last run
+
+
 def run_to_memory(
     agg: DataFrame, output_mode: str, prefix: str
 ) -> tuple[str, "SparkSession"]:
     """Start agg → memory sink, drain all available input, stop.
-    Returns the (unique) sink table name."""
+    Returns the (unique) sink table name. The run's per-batch progress
+    (watermark, numRowsDroppedByWatermark, ...) is kept in
+    LAST_PROGRESS so tests can assert streaming semantics actually
+    fired, not just that the final values matched."""
     name = f"{prefix}_{next(_COUNTER)}"
     q = (
         agg.writeStream.outputMode(output_mode)
@@ -56,6 +62,7 @@ def run_to_memory(
     )
     try:
         q.processAllAvailable()
+        LAST_PROGRESS[:] = [dict(p) for p in q.recentProgress]
     finally:
         q.stop()
     return name

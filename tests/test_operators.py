@@ -145,3 +145,25 @@ def test_word_shingles_short_doc_guard(spark):
     )
     got = df.select(F.size(word_shingles("text")).alias("n")).collect()
     assert [r.n for r in got] == [0, 1, 2]
+
+
+def test_jaccard_df_cap_drops_viral_shingles(spark):
+    """Construct a corpus where every doc shares a 7-word boilerplate
+    prefix (5 interior trigrams with df=30) plus 2 unique tail words.
+    Uncapped, every pair crosses jaccard 5/9 >= 0.5 purely via the
+    boilerplate; with the cap (20 < 30) the viral shingles leave the
+    index and no pair survives — the quadratic blowup guard, actually
+    exercised (the real corpus never trips it)."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        jaccard_pairs_from_docs,
+    )
+
+    common = "w1 w2 w3 w4 w5 w6 w7"
+    rows = [(i, f"{common} u{i} v{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = jaccard_pairs_from_docs(docs, max_shingle_df=20).collect()
+    assert capped == []
+    uncapped = jaccard_pairs_from_docs(
+        docs, max_shingle_df=10**6
+    ).collect()
+    assert len(uncapped) == 30 * 29 // 2

@@ -61,3 +61,22 @@ def test_stream_runs_are_isolated(spark, sf_dir):
     n1 = registry.QUERIES["stream_dedup"](spark, sf_dir).collect()
     n2 = registry.QUERIES["stream_dedup"](spark, sf_dir).collect()
     assert n1 == n2
+
+
+def test_stream_late_data_actually_drops_rows(spark, sf_dir):
+    """The late-data query must not pass vacuously: the replay must
+    run >= 3 micro-batches, and the late batch's rows must be counted
+    as dropped-by-watermark (not silently aggregated)."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.streaming import jobs
+
+    registry.load_all()
+    registry.QUERIES["stream_late_data"](spark, sf_dir).collect()
+    progress = jobs.LAST_PROGRESS
+    assert len(progress) >= 3, [p.get("batchId") for p in progress]
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for s in p.get("stateOperators", [])
+    )
+    assert dropped > 0, progress
