@@ -387,3 +387,118 @@ def describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "data_type")
         .orderBy("col_name")
     )
+
+
+@query(
+    "xpath_extract",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive xpath UDF family: per-row XML is built from the order,
+    then xpath_string/xpath_long must recover the original fields
+    exactly (aggregation over the extracted values ≡ aggregation over
+    the source, which is what the oracle checks — any xpath
+    mis-extraction breaks parity). Money rides as integer cents so no
+    float ever transits the string form."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    xml = F.concat(
+        F.lit("<order><pri>"), F.col("o_orderpriority"),
+        F.lit("</pri><cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</cents></order>"),
+    )
+    parsed = o.select(xml.alias("x")).select(
+        F.expr("xpath_string(x, 'order/pri')").alias("o_orderpriority"),
+        F.expr("xpath_long(x, 'order/cents')").alias("cents"),
+    )
+    return (
+        parsed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           last_value(pv IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS UNBOUNDED PRECEDING) AS last_purchase,
+           lead(pv IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_purchase
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN round(value, 2)
+                 END AS pv
+          FROM events WHERE user_id < 20)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI/Hive IGNORE NULLS window modifiers: last purchase value
+    carried forward (last_value) and next purchase looked ahead (lead)
+    across non-purchase gaps — the same SQL text runs on both engines.
+    """
+    Catalog(spark, sf_dir).events.createOrReplaceTempView(
+        "win_events_src"
+    )
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               last_value(pv) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS last_purchase,
+               lead(pv) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_purchase
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'purchase'
+                          THEN round(value, 2) END AS pv
+              FROM win_events_src WHERE user_id < 20)
+        ORDER BY user_id, event_id
+        """
+    )
+
+
+@query(
+    "format_number_grouped",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_orderkey < 500)
+    SELECT o_orderpriority,
+           format('{:,}', max(c) // 100) || '.' ||
+               lpad(CAST(max(c) % 100 AS VARCHAR), 2, '0')
+               AS max_price_fmt,
+           count(*) AS n
+    FROM cents GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def format_number_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive format_number (locale thousands separators): the formatted
+    string must equal a digit-exact reconstruction from integer cents
+    (DuckDB builds it with format('{:,}') on the integer part — no
+    float ever gets formatted, so the comma grouping is the only thing
+    under test)."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 500)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("format_number(round(max(o_totalprice), 2), 2)").alias(
+                "max_price_fmt"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
