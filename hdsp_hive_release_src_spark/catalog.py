@@ -63,17 +63,22 @@ class Catalog:
         return _SHARED[key]
 
     def _read_events(self, path: str):
-        """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        reader rejects; read nanos as long and floor-convert to a
-        microsecond timestamp (`div` = integer division — double math
+        """events.ts has shipped as TIMESTAMP(NANOS) parquet in some data
+        drops (which Spark's vectorized reader rejects) and plain
+        TIMESTAMP(MICROS) in others. Handle both: read with nanosAsLong
+        compat on, then floor-convert only if the column actually came
+        back as epoch-nanos long (`div` = integer division — double math
         would lose precision on epoch-nanos magnitudes)."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
