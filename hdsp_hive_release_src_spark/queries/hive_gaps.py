@@ -191,7 +191,8 @@ def udaf_register(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     packed AS (
       SELECT source, n_tokens,
-             (sum(n_tokens) OVER w - n_tokens) // 256 AS bin_id
+             CAST((sum(n_tokens) OVER w - n_tokens) // 256
+                  AS BIGINT) AS bin_id
       FROM toks
       WINDOW w AS (PARTITION BY source ORDER BY doc_id
                    ROWS UNBOUNDED PRECEDING))
@@ -371,7 +372,7 @@ def msck_repair_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('l_quantity', 'double'), ('l_extendedprice', 'double'),
       ('l_discount', 'double'), ('l_tax', 'double'),
       ('l_returnflag', 'string'), ('l_linestatus', 'string'),
-      ('l_shipdate', 'timestamp_ntz')) t(col_name, data_type)
+      ('l_shipdate', 'timestamp')) t(col_name, data_type)
     ORDER BY col_name
     """,
 )

@@ -296,7 +296,8 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(split_part(p_name, ' ', 1),
                        split_part(p_name, ' ', 2)) AS lev_within,
            levenshtein(p_brand, 'Brand#1') AS lev_brand,
-           regexp_extract_all(p_name, '[a-z]{4,}') AS long_words
+           coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'),
+                                    chr(31)), '') AS long_words
     FROM part WHERE p_partkey < 300 ORDER BY p_partkey
     """,
 )
@@ -304,7 +305,10 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-matching family: levenshtein edit distance (entity-
     resolution primitive) + regexp_extract_all array extraction. At
     scale, edit distance belongs AFTER a blocking join (never pairwise
-    across the corpus) — here it scores within-row name tokens."""
+    across the corpus) — here it scores within-row name tokens. The
+    extracted array is unit-separator-joined (order is positional, so
+    no sort needed) — raw list cells crash the driver's pandas
+    canonicalization (unhashable type)."""
     p = Catalog(spark, sf_dir).part
     w1 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
     w2 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
@@ -314,8 +318,9 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.levenshtein(w1, w2).alias("lev_within"),
             F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_brand"),
-            F.regexp_extract_all(
-                "p_name", F.lit("[a-z]{4,}"), 0
+            F.concat_ws(
+                "\x1f",
+                F.regexp_extract_all("p_name", F.lit("[a-z]{4,}"), 0),
             ).alias("long_words"),
         )
         .orderBy("p_partkey")

@@ -30,9 +30,11 @@ from hdsp_hive_release_src_spark.registry import query
     "decimal_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS sum_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18, 4))
-               * CAST(1 - l_discount AS DECIMAL(18, 4))) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4)))
+                     AS DECIMAL(38, 4)) AS VARCHAR) AS sum_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                         * CAST(1 - l_discount AS DECIMAL(18, 4)))
+                     AS DECIMAL(38, 8)) AS VARCHAR) AS sum_disc_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -41,17 +43,25 @@ def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL aggregation — the financial-correctness path.
     Unlike the double-typed queries (rounded before compare), these
     sums must match the oracle EXACTLY: decimal addition is associative
-    so shuffle/combine order cannot change the result at any scale."""
+    so shuffle/combine order cannot change the result at any scale.
+    Final sums surface as fixed-scale decimal STRINGS: a pandas bridge
+    turns Spark decimals into Decimal objects but DuckDB decimals into
+    float64, so comparing the exact textual form is the only encoding
+    both engines render identically."""
     li = Catalog(spark, sf_dir).lineitem
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = (1 - F.col("l_discount")).cast("decimal(18,4)")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(price).cast("decimal(38,4)").alias("sum_price"),
-            F.sum(price * disc).cast("decimal(38,8)").alias(
-                "sum_disc_price"
-            ),
+            F.sum(price)
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("sum_price"),
+            F.sum(price * disc)
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")

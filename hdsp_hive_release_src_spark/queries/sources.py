@@ -125,6 +125,12 @@ def csv_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("not_a_number,x,y,z,1,1.0\n")
         f.write("1,only,two\n")
         f.write("2,bad,size,PROMO,not_int,9.99\n")
+    # the Spark write above refreshed (and re-listed) the path BEFORE
+    # the hand-injected file existed; without an explicit refresh the
+    # session's file-status cache hides zz_bad_rows.csv on re-read and
+    # the corrupt count silently drops to 0 (also drops any stale
+    # InMemoryRelation a prior run of this query cached over the path).
+    spark.catalog.refreshByPath(path)
     schema = (
         "p_partkey long, p_name string, p_brand string, p_type string,"
         " p_size int, p_retailprice double, _corrupt_record string"

@@ -36,6 +36,12 @@ def get_spark(
         # dims at any realistic SF stay well under this; lineitem never does
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata parquet carries naive (isAdjustedToUTC=false) micros
+        # timestamps; without this Spark 4 reads them as TIMESTAMP_NTZ,
+        # which unix_micros/withWatermark/watermarked streaming reject.
+        # Read as session-local TIMESTAMP instead — session tz is UTC,
+        # so epoch values agree with DuckDB's naive-as-UTC semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -53,4 +59,8 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
         os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # naive parquet timestamps must read as TIMESTAMP (UTC), not NTZ —
+    # see get_spark; a foreign session defaults to NTZ inference and
+    # breaks unix_micros()/withWatermark() on the events table.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -22,24 +22,34 @@ from pyspark.sql import functions as F
 
 _COUNTER = itertools.count()
 
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events table (nanos ts → microsecond timestamp, same
-    normalization as the batch catalog)."""
+    """Stream the events table, normalizing ``ts`` to TIMESTAMP exactly
+    like the batch catalog: testdata drops have shipped ts as epoch-
+    nanos long, TIMESTAMP(NANOS), and plain TIMESTAMP(MICROS). Probe
+    the real footer schema with a batch read (streaming file sources
+    need an explicit schema) instead of hardcoding one layout."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
     # the streaming file source requires a directory; glob-filter the
     # one table out of the shared sf_dir
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # watermarks/event-time ops require TIMESTAMP; session tz is
+        # UTC (tune_for_oracle) so the cast is a pure retag.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
 
 
 LAST_PROGRESS: list[dict] = []  # per-batch progress of the last run
