@@ -41,37 +41,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # sources family (5 never driver-checked + 3 new this round)
-    "orc_roundtrip", "csv_roundtrip", "json_roundtrip",
-    "csv_permissive_parse", "dynamic_partition_overwrite",
-    "multi_insert", "regex_serde_parse", "partitioned_sink_prune",
-    # timeseries (never driver-checked)
+    # red/erred driver rows from round 3, fixed this round
+    "fuzzy_match", "decimal_agg", "sequence_packing",
+    "stream_late_data",
+    # changed this round (describe type pin, file-listing refresh)
+    "describe_table", "csv_permissive_parse",
+    # never driver-checked (added late in round 3)
+    "insert_overwrite_directory", "full_outer_join",
+    "msck_repair_discovery", "xpath_extract", "window_ignore_nulls",
+    "format_number_grouped",
+    # streaming family: events stream reader rewritten this round
+    # (schema probe replaces the hardcoded epoch-nanos layout)
+    "stream_windowed_counts", "stream_sessionization",
+    "stream_stateful_user_agg", "stream_stream_join",
+    "stream_parquet_sink", "stream_dedup",
+    # events/timeseries + date-heavy batch queries: testdata timestamps
+    # changed layout (epoch-nanos long → naive micros), so their read
+    # type flipped TIMESTAMP_NTZ → TIMESTAMP this round — re-confirm
+    "time_bucket_agg", "sessionization", "funnel_counts",
+    "retention_cohorts", "asof_join_events_orders",
     "ohlc_daily", "gapfill_daily", "window_range_trailing",
     "locf_interpolation", "cumulative_users",
-    # hive builtin surface (never driver-checked)
-    "table_sample_bucket", "map_funcs", "posexplode_tokens",
-    "typed_json", "url_parse", "hash_funcs", "bitwise_funcs",
-    "window_extended", "set_ops_all", "fuzzy_match",
-    "window_rank_variants", "filtered_agg",
-    # olap surface (never driver-checked)
-    "decimal_agg", "array_set_ops", "binary_meta",
-    "distribute_sort_by", "materialized_view_rewrite",
-    # udf surface (never driver-checked)
-    "pandas_udf_scalar", "grouped_pandas_quantiles",
-    "explode_outer_empty", "arrays_zip_explode",
-    # new this round
-    "percentile_approx", "json_tuple", "udtf_lateral",
-    "show_partitions", "describe_table", "udaf_register",
-    "sequence_packing", "stream_late_data", "decontaminate_ngrams",
-    "dedup_keep_best", "training_shard_manifest",
-    # never driver-checked singles + changed-this-round re-checks
-    # (dedup_minhash_lsh / dedup_components / quality_filter_pipeline
-    # follow right after the window: r2-green, value-identical change,
-    # re-verified by the local gate replica this round)
-    "string_funcs_extended", "stream_dedup", "q12_priority_shipping",
-    "kmeans_clusters", "approx_distinct", "collect_agg",
-    "dedup_ngram_jaccard", "skew_salted_join_agg",
-    "dedup_minhash_lsh", "dedup_components", "quality_filter_pipeline",
+    "date_funcs", "date_builtins_extended", "window_sliding_hop",
+    "streak_islands", "band_join_order_pairs",
+    # date-filtered TPC-H (same type-flip exposure; r1/r2-green last)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_priority_shipping",
+    "q14_promo_effect", "q15_top_supplier", "q20_promo_shippers",
+    "q21_sole_late_supplier", "q18_large_volume_customer",
+    "q22_global_sales", "merge_upsert",
 )
 
 

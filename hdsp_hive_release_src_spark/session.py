@@ -42,7 +42,11 @@ def get_spark(
         # Read as session-local TIMESTAMP instead — session tz is UTC,
         # so epoch values agree with DuckDB's naive-as-UTC semantics.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM —
+        # size the heap for 32 concurrent tasks, not a lone driver
+        # (8g showed 2× wall-clock swings from GC pauses on the
+        # shuffle-heavy headliners; the box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
