@@ -503,3 +503,72 @@ def format_number_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "stack_unpivot_funcs",
+    oracle="""
+    SELECT p_partkey, 'price' AS metric,
+           round(p_retailprice, 2) AS val
+    FROM part WHERE p_partkey < 150
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey < 150
+    ORDER BY p_partkey, metric
+    """,
+)
+def stack_unpivot_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's stack() UDTF — the SELECT-list unpivot idiom (N columns →
+    N rows of (label, value) per input row). Distinct from the
+    relational UNPIVOT query (analytics.py): stack is an expression-
+    position generator usable anywhere a LATERAL VIEW goes. Map-only."""
+    Catalog(spark, sf_dir).part.where(
+        F.col("p_partkey") < 150
+    ).createOrReplaceTempView("stack_part_src")
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, round(val, 2) AS val
+        FROM stack_part_src
+        LATERAL VIEW stack(
+            2, 'size', CAST(p_size AS DOUBLE),
+               'price', p_retailprice) t AS metric, val
+        ORDER BY p_partkey, metric
+        """
+    )
+
+
+@query(
+    "str_to_map_parse",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio_rt,
+           o_orderstatus AS stat_rt,
+           CAST(2 AS INTEGER) AS n_keys
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def str_to_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive str_to_map: a "k:v,k:v" config string is built from order
+    fields, parsed back with str_to_map, and the extracted values must
+    round-trip to the originals (the oracle recomputes them from the
+    source columns directly, so any parse drift breaks parity). The
+    'settings-string column' parse is a daily Hive-ETL chore; map-only
+    expression work."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 500)
+    packed = F.concat(
+        F.lit("prio:"),
+        F.col("o_orderpriority"),
+        F.lit(",stat:"),
+        F.col("o_orderstatus"),
+    )
+    m = F.expr("str_to_map(packed, ',', ':')")
+    return (
+        o.select("o_orderkey", packed.alias("packed"))
+        .select(
+            "o_orderkey",
+            m["prio"].alias("prio_rt"),
+            m["stat"].alias("stat_rt"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -153,3 +153,19 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     still-open last-day window MUST be withheld (append mode). The
     oracle encodes exactly that expectation from the batch table."""
     return jobs.late_data_windowed(spark, sf_dir)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2)
+               AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched with the static customer dim (see
+    streaming/jobs.py::static_enrich_join) — per-segment totals over
+    the drained stream must equal the batch join."""
+    return jobs.static_enrich_join(spark, sf_dir)

@@ -147,3 +147,65 @@ def arrays_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.where(F.col("p_partkey") < 200)
         .select("p_partkey", F.inline(zipped))
     )
+
+
+@query(
+    "cogroup_pandas_enrich",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders WHERE o_custkey < 200 GROUP BY o_custkey),
+    c AS (
+      SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_custkey < 200)
+    SELECT coalesce(o.custkey, c.custkey) AS custkey,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(total_price, 0.0) AS total_price,
+           coalesce(acctbal, 0.0) AS acctbal
+    FROM o FULL OUTER JOIN c ON o.custkey = c.custkey
+    ORDER BY custkey
+    """,
+)
+def cogroup_pandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the one grouped-Pandas surface the
+    other UDF queries don't cover: orders and customers cogrouped on
+    custkey, each key's two frames handed to one Python function
+    (Hive's reduce-side custom-join-script analog). Arrow-batched;
+    per-key state only, so executor memory is bounded by the largest
+    single key at any corpus size. The full-outer oracle pins the
+    union-of-keys semantic (a key present on either side fires the
+    function)."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.where(F.col("o_custkey") < 200).select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = cat.customer.where(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+
+    def enrich(key, orders_pdf, cust_pdf):
+        n = len(orders_pdf)
+        total = float(orders_pdf["o_totalprice"].sum()) if n else 0.0
+        bal = float(cust_pdf["c_acctbal"].iloc[0]) if len(cust_pdf) else 0.0
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [n],
+                "total_price": [round(total, 2)],
+                "acctbal": [round(bal, 2)],
+            }
+        )
+
+    return (
+        o.groupBy("custkey")
+        .cogroup(c.groupBy("custkey"))
+        .applyInPandas(
+            enrich,
+            schema=(
+                "custkey long, n_orders long, total_price double, "
+                "acctbal double"
+            ),
+        )
+        .orderBy("custkey")
+    )

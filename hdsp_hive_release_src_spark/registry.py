@@ -41,6 +41,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
+    # brand new this round
+    "doc_chunk_overlap", "embedding_quantize", "balanced_class_sample",
+    "cogroup_pandas_enrich", "stream_static_join",
+    "stack_unpivot_funcs", "str_to_map_parse",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -85,6 +89,7 @@ def load_all() -> None:
         llm2,
         llm3,
         llm4,
+        llm5,
         streaming,
         sources,
         events,

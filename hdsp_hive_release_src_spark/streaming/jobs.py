@@ -326,3 +326,29 @@ def late_data_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events feed enriched against a
+    batch dimension table (customer market segments) — the canonical
+    "enrich a Kafka stream with a warehouse dim" deployment. The static
+    side is planned per micro-batch and broadcast (dim-sized), so no
+    stream state is kept for it at all — unlike a stream-stream join,
+    this scales with the dim, not the stream. Complete-mode agg over
+    the whole finite input is batch-equivalent (full oracle)."""
+    from hdsp_hive_release_src_spark.catalog import Catalog
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = (
+        Catalog(spark, sf_dir)
+        .customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = run_to_memory(agg, "complete", "stream_static")
+    return spark.table(name).orderBy("c_mktsegment")

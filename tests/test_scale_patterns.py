@@ -184,9 +184,12 @@ def test_kmeans_assignment_is_join_free(spark):
     assert "Window" not in plan, plan
 
 
-def test_jaccard_hot_shingle_cap_is_broadcast_anti(spark):
-    """The df-cap's hot-shingle list must broadcast into a left_anti —
-    capping may not add a corpus-scale shuffle."""
+def test_jaccard_pair_generation_is_join_free(spark):
+    """The capped inverted index groups postings per shingle and emits
+    candidate pairs with a nested explode — the plan must contain NO
+    join node (the old self-join scanned the exploded index twice and
+    needed a third pass for the df count) and exactly one scan of the
+    documents table."""
     from hdsp_hive_release_src_spark import registry
     from hdsp_hive_release_src_spark.plans import explain_str
 
@@ -195,10 +198,13 @@ def test_jaccard_hot_shingle_cap_is_broadcast_anti(spark):
         spark, "/root/testdata/sf0.001"
     )
     plan = explain_str(df, "simple")
-    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert anti_lines and all(
-        "BroadcastHashJoin" in ln for ln in anti_lines
-    ), plan
+    assert "Join" not in plan, plan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "documents" in ln
+    ]
+    assert len(scans) == 1, plan
 
 
 def test_big_join_is_not_broadcast(spark):
