@@ -45,6 +45,8 @@ _VERIFY_FIRST = (
     "doc_chunk_overlap", "embedding_quantize", "balanced_class_sample",
     "cogroup_pandas_enrich", "stream_static_join",
     "stack_unpivot_funcs", "str_to_map_parse",
+    "variant_semistructured", "hll_sketch_union",
+    "tokenizer_vocab_build", "mapinarrow_bytes",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -90,6 +92,7 @@ def load_all() -> None:
         llm3,
         llm4,
         llm5,
+        modern_surface,
         streaming,
         sources,
         events,
