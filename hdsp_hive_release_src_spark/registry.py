@@ -47,6 +47,8 @@ _VERIFY_FIRST = (
     "stack_unpivot_funcs", "str_to_map_parse",
     "variant_semistructured", "hll_sketch_union",
     "tokenizer_vocab_build", "mapinarrow_bytes",
+    "recursive_cte_hierarchy", "lateral_topk_join",
+    "bucketed_colocated_join", "scd2_dimension", "grouping_id_agg",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -93,6 +95,7 @@ def load_all() -> None:
         llm4,
         llm5,
         modern_surface,
+        warehouse_surface,
         streaming,
         sources,
         events,

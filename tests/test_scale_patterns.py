@@ -216,3 +216,26 @@ def test_big_join_is_not_broadcast(spark):
     j = li.join(orders.hint("shuffle_merge"), li.l_orderkey == orders.o_orderkey)
     plan = explain_str(j, "simple")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed on the join key: Spark must align buckets
+    and skip the exchange entirely — the pay-once pre-partitioning
+    pattern for repeated fact-fact joins."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["bucketed_colocated_join"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() > 0
+    li = spark.table("bk_lineitem")
+    o = spark.table("bk_orders")
+    # force SMJ: at test SF Catalyst would broadcast the tiny side,
+    # which dodges the exchange question this test exists to ask (at
+    # fact-fact scale SMJ is what the planner picks on its own)
+    j = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    plan = explain_str(j, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
