@@ -1,0 +1,282 @@
+"""SURVEY.md §2.2/§2.3 continued — production-ETL surfaces: snapshot
+diffing (CDC extract), change-stream application (CDC apply, the MERGE
+substitute when no ACID table format is mounted), a data-quality audit,
+time-weighted averaging over irregular samples, and the high-watermark
+incremental-load pattern.
+
+Scale shapes: snapshot diff and CDC apply shuffle once on the business
+key; the DQ audit is one pass of conditional aggregates plus one
+broadcast-anti orphan probe; time-weighted averages are one window pass
+per key partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey < 4000),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice * CASE WHEN o_orderkey % 10 = 0
+                                       THEN 1.1 ELSE 1.0 END, 2) AS price
+      FROM orders WHERE o_orderkey < 4500 AND o_orderkey % 7 <> 0)
+    SELECT change, count(*) AS n FROM (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.price <> n.price
+                 OR o.o_orderstatus <> n.o_orderstatus THEN 'update'
+               ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    GROUP BY change ORDER BY change
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extract by snapshot diff: yesterday's and today's order
+    snapshots (deterministically derived from the same base so the
+    oracle replays them) full-outer-joined on the business key and
+    classified insert / delete / update / unchanged — how change
+    capture works when the source system offers no log. One key-hash
+    shuffle for the join; at 100 TB both snapshots bucket on the key
+    and the diff is co-located."""
+    o = Catalog(spark, sf_dir).orders
+    old = o.where(F.col("o_orderkey") < 4000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new = (
+        o.where(
+            (F.col("o_orderkey") < 4500) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(
+                F.col("o_totalprice")
+                * F.when(F.col("o_orderkey") % 10 == 0, 1.1).otherwise(
+                    1.0
+                ),
+                2,
+            ).alias("price"),
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(
+            (F.col("o.price") != F.col("n.price"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderpriority AS val,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             o_orderkey AS seq
+      FROM orders WHERE o_custkey < 50),
+    last AS (
+      SELECT k, op, val,
+             row_number() OVER (PARTITION BY k
+                 ORDER BY ts DESC, seq DESC) AS rn
+      FROM changes)
+    SELECT k, val FROM last WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply without an ACID table format: an ordered change stream
+    (upserts + deletes, deterministically derived from orders) is
+    collapsed last-writer-wins per key — row_number over (ts, seq)
+    descending, keep rn=1, drop keys whose final op is a delete. This
+    is the MERGE INTO substitute pattern (cf. merge_upsert) and the
+    compaction step every log-structured ingest runs; one key shuffle,
+    and the same window also serves dedup-by-latest."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_custkey") < 50)
+    changes = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_orderpriority").alias("val"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "val")
+        .orderBy("k")
+    )
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    WITH orphans AS (
+      SELECT count(*) AS n_orphan FROM (
+        SELECT l_orderkey FROM lineitem
+        EXCEPT
+        SELECT o_orderkey FROM orders)),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty,
+             CAST(count_if(l_discount < 0 OR l_discount > 0.5)
+                  AS BIGINT) AS bad_discount,
+             CAST(count_if(l_shipdate IS NULL) AS BIGINT)
+                 AS null_shipdate,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+      FROM lineitem)
+    SELECT n_rows, null_qty, bad_discount, null_shipdate, n_flags,
+           CAST(n_orphan AS BIGINT) AS n_orphan_lines
+    FROM base, orphans
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the gate a production load runs before
+    publishing a partition: null counts, domain-range violations,
+    category cardinality, and referential orphans (lineitem keys with
+    no parent order). One scan of conditional aggregates + one
+    distinct-key anti probe; emitted as a single wide row a scheduler
+    can assert on. At 100 TB the orphan probe is a broadcast of the
+    aggregated DISTINCT key set, never a row-level join."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    orphan = (
+        li.select("l_orderkey")
+        .distinct()
+        .join(
+            cat.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphan_lines"))
+    )
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("null_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+        ).alias("bad_discount"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("null_shipdate"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+    )
+    return base.join(F.broadcast(orphan))
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER w)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                   event_id))
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 6) AS twa,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM s WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples — the correct mean
+    for sensor/metric streams where a value holds until the next
+    reading (an arithmetic mean over-weights bursty periods): each
+    value weighted by its holding duration (lead(ts) - ts). One window
+    pass per user partition, then a plain aggregate — both share the
+    user_id shuffle."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    )
+    s = ev.select("user_id", "value", dur.alias("dur_us")).where(
+        F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us"))
+                / F.sum("dur_us"),
+                6,
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "incremental_high_watermark",
+    oracle="""
+    WITH watermark AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 7 DAY AS wm
+      FROM events),
+    increment AS (
+      SELECT event_type, count(*) AS n_new,
+             round(sum(value), 2) AS value_new
+      FROM events, watermark WHERE CAST(ts AS TIMESTAMP) > wm
+      GROUP BY event_type)
+    SELECT event_type, n_new, value_new FROM increment
+    ORDER BY event_type
+    """,
+)
+def incremental_high_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """High-watermark incremental load: only rows newer than the last
+    processed timestamp (here: max(ts) - 7 days, derived from the data
+    so the oracle replays it) enter the batch — the pattern that turns
+    a full-table daily job into an incremental one. The watermark is a
+    broadcast scalar; with time-partitioned storage the filter becomes
+    partition pruning and the scan touches only new partitions."""
+    ev = Catalog(spark, sf_dir).events
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("wm")
+    )
+    return (
+        ev.join(F.broadcast(wm))
+        .where(F.col("ts") > F.col("wm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.round(F.sum("value"), 2).alias("value_new"),
+        )
+        .orderBy("event_type")
+    )

@@ -49,6 +49,8 @@ _VERIFY_FIRST = (
     "tokenizer_vocab_build", "mapinarrow_bytes",
     "recursive_cte_hierarchy", "lateral_topk_join",
     "bucketed_colocated_join", "scd2_dimension", "grouping_id_agg",
+    "snapshot_diff", "cdc_apply_changes", "dq_audit",
+    "time_weighted_avg", "incremental_high_watermark",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -96,6 +98,7 @@ def load_all() -> None:
         llm5,
         modern_surface,
         warehouse_surface,
+        etl_surface,
         streaming,
         sources,
         events,
