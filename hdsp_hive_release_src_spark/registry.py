@@ -51,6 +51,7 @@ _VERIFY_FIRST = (
     "bucketed_colocated_join", "scd2_dimension", "grouping_id_agg",
     "snapshot_diff", "cdc_apply_changes", "dq_audit",
     "time_weighted_avg", "incremental_high_watermark",
+    "frame_sample_plumbing", "mixture_weights", "binaryfile_source",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -99,6 +100,7 @@ def load_all() -> None:
         modern_surface,
         warehouse_surface,
         etl_surface,
+        multimodal2,
         streaming,
         sources,
         events,
