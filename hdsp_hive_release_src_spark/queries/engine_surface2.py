@@ -1,0 +1,157 @@
+"""SURVEY.md §2.2 continued — engine-operations surfaces: the literal
+HiveQL ``SELECT TRANSFORM ... USING 'cmd'`` external-process stage,
+Dataset.observe load instrumentation, ANALYZE TABLE statistics (what
+the cost-based optimizer reads), and the CACHE TABLE surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "transform_using_script",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 3000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def transform_using_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal HiveQL external-process stage: SELECT TRANSFORM
+    pipes rows through 'cat' as tab-separated text and reparses them —
+    proving the script-serde round trip (the aggregation downstream
+    breaks if any row is lost or mangled). This is the syntax-level
+    twin of script_transform (which shows the mapInPandas replacement);
+    real deployments should prefer the Arrow path — an OS pipe
+    per-partition plus text serde is the slowest possible stage — but
+    the surface must exist for Hive script jobs to port verbatim."""
+    Catalog(spark, sf_dir).orders.where(
+        F.col("o_orderkey") < 3000
+    ).createOrReplaceTempView("xform_orders_src")
+    return spark.sql(
+        """
+        WITH piped AS (
+          SELECT TRANSFORM(o_orderkey, o_orderpriority)
+          USING 'cat' AS (k STRING, prio STRING)
+          FROM xform_orders_src)
+        SELECT prio AS o_orderpriority, count(*) AS n,
+               sum(CAST(k AS BIGINT)) AS key_sum
+        FROM piped GROUP BY prio ORDER BY prio
+        """
+    )
+
+
+@query(
+    "observed_load_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big
+    FROM orders
+    """,
+)
+def observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset.observe — zero-extra-pass load instrumentation: metric
+    expressions ride along the load job itself (an accumulator per
+    metric, no second scan) and surface when the action finishes; the
+    pattern every production load uses to publish row counts and
+    checksums without re-reading 100 TB. The observed values are
+    returned AS the result row, so the oracle proves the piggybacked
+    metrics equal a direct aggregation."""
+    from pyspark.sql import Observation
+
+    o = Catalog(spark, sf_dir).orders
+    obs = Observation("load_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "load"
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_big"])],
+        "n_rows long, total_price double, n_big long",
+    )
+
+
+@query(
+    "analyze_table_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS stats_rows,
+           CAST(count(*) AS BIGINT) AS exact_rows
+    FROM lineitem
+    """,
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS — the stats the cost-based
+    optimizer's join reordering and broadcast decisions read. The
+    catalog's recorded rowCount must equal the exact count (the oracle
+    runs the count directly); at 100 TB you ANALYZE incrementally per
+    partition, and stale stats are how plans go wrong — this check is
+    the freshness audit."""
+    import shutil
+
+    li = Catalog(spark, sf_dir).lineitem
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS stats_lineitem")
+    shutil.rmtree(f"{warehouse}/stats_lineitem", ignore_errors=True)
+    li.select("l_orderkey", "l_quantity").write.saveAsTable(
+        "stats_lineitem"
+    )
+    spark.sql("ANALYZE TABLE stats_lineitem COMPUTE STATISTICS")
+    import re
+
+    stats = (
+        spark.sql("DESCRIBE EXTENDED stats_lineitem")
+        .where(F.col("col_name") == "Statistics")
+        .select("data_type")
+        .collect()
+    )
+    n_stats = int(re.search(r"(\d+) rows", stats[0][0]).group(1))
+    exact = spark.table("stats_lineitem").count()
+    return spark.createDataFrame(
+        [(n_stats, exact)], "stats_rows long, exact_rows long"
+    )
+
+
+@query(
+    "cache_table_reuse",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def cache_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE — the SQL-surface materialization Hive users reach
+    for between reuse-heavy stages. The cached relation serves the
+    query (InMemoryRelation asserted in tests) and UNCACHE releases it
+    deterministically. At 100 TB you cache AGGREGATED intermediates,
+    never raw fact tables — this caches the post-aggregation view
+    shape a dashboard fan-out would reuse."""
+    Catalog(spark, sf_dir).orders.createOrReplaceTempView(
+        "cache_orders_src"
+    )
+    spark.sql("UNCACHE TABLE IF EXISTS cache_orders_agg")
+    # UNCACHE releases storage but keeps the temp view registered —
+    # drop it too or a second run in the same session fails
+    spark.sql("DROP VIEW IF EXISTS cache_orders_agg")
+    spark.sql(
+        """
+        CACHE TABLE cache_orders_agg AS
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM cache_orders_src GROUP BY o_orderstatus
+        """
+    )
+    return spark.table("cache_orders_agg").orderBy("o_orderstatus")

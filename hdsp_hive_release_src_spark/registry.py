@@ -52,6 +52,8 @@ _VERIFY_FIRST = (
     "snapshot_diff", "cdc_apply_changes", "dq_audit",
     "time_weighted_avg", "incremental_high_watermark",
     "frame_sample_plumbing", "mixture_weights", "binaryfile_source",
+    "transform_using_script", "observed_load_metrics",
+    "analyze_table_stats", "cache_table_reuse",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -101,6 +103,7 @@ def load_all() -> None:
         warehouse_surface,
         etl_surface,
         multimodal2,
+        engine_surface2,
         streaming,
         sources,
         events,

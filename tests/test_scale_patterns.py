@@ -239,3 +239,19 @@ def test_bucketed_join_has_no_shuffle(spark):
     plan = explain_str(j, "simple")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_cache_table_serves_from_memory(spark):
+    """CACHE TABLE must materialize: the cached relation appears as
+    InMemoryRelation in the served query's plan."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["cache_table_reuse"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(spark.table("cache_orders_agg"), "simple")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert df.count() == 3
+    spark.sql("UNCACHE TABLE IF EXISTS cache_orders_agg")
