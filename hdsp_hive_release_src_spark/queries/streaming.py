@@ -169,3 +169,20 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/jobs.py::static_enrich_join) — per-segment totals over
     the drained stream must equal the batch join."""
     return jobs.static_enrich_join(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2)
+               AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming dedup (see streaming/jobs.py::
+    dedup_within_watermark): a doubled source collapsed back to
+    exactly the batch per-type totals."""
+    return jobs.dedup_within_watermark(spark, sf_dir)

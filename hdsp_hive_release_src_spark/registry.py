@@ -54,6 +54,8 @@ _VERIFY_FIRST = (
     "frame_sample_plumbing", "mixture_weights", "binaryfile_source",
     "transform_using_script", "observed_load_metrics",
     "analyze_table_stats", "cache_table_reuse",
+    "rounding_modes", "regexp_family", "collation_compare",
+    "conv_bases", "stream_dedup_within_watermark",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -104,6 +106,7 @@ def load_all() -> None:
         etl_surface,
         multimodal2,
         engine_surface2,
+        functions_suite2,
         streaming,
         sources,
         events,

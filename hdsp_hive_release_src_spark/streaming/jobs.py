@@ -352,3 +352,23 @@ def static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_to_memory(agg, "complete", "stream_static")
     return spark.table(name).orderBy("c_mktsegment")
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): exact-once dedup
+    with BOUNDED state — keys expire once the watermark passes them,
+    unlike plain streaming dropDuplicates whose key set grows forever
+    (the state-OOM at stream scale). The source replays each event
+    twice (union with itself), so every key IS duplicated in-flight;
+    over the finite input with a generous delay the result must equal
+    batch DISTINCT, which the oracle checks."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)  # every event arrives twice
+    deduped = doubled.withWatermark("ts", "10 days")\
+        .dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = run_to_memory(agg, "complete", "stream_dedup_wm")
+    return spark.table(name).orderBy("event_type")
