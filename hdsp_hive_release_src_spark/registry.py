@@ -56,6 +56,8 @@ _VERIFY_FIRST = (
     "analyze_table_stats", "cache_table_reuse",
     "rounding_modes", "regexp_family", "collation_compare",
     "conv_bases", "stream_dedup_within_watermark",
+    "schema_evolution_union", "parquet_schema_merge",
+    "nested_struct_json", "null_ordering", "limit_offset_pagination",
     # red/erred driver rows from round 3, fixed this round
     "fuzzy_match", "decimal_agg", "sequence_packing",
     "stream_late_data",
@@ -107,6 +109,7 @@ def load_all() -> None:
         multimodal2,
         engine_surface2,
         functions_suite2,
+        schema_surface,
         streaming,
         sources,
         events,
