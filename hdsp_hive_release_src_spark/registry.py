@@ -41,7 +41,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # brand new this round
+    # red/erred driver rows from round 3, fixed this round — clear
+    # these first
+    "fuzzy_match", "decimal_agg", "sequence_packing",
+    "stream_late_data",
+    # changed this round (describe type pin, file-listing refresh)
+    "describe_table", "csv_permissive_parse",
+    # never driver-checked (added late in round 3)
+    "insert_overwrite_directory", "full_outer_join",
+    "msck_repair_discovery", "xpath_extract", "window_ignore_nulls",
+    "format_number_grouped",
+    # brand new this round (43; the tail past the driver's sample
+    # window carries local gate-replica green rows until round 5)
     "doc_chunk_overlap", "embedding_quantize", "balanced_class_sample",
     "cogroup_pandas_enrich", "stream_static_join",
     "stack_unpivot_funcs", "str_to_map_parse",
@@ -58,15 +69,6 @@ _VERIFY_FIRST = (
     "conv_bases", "stream_dedup_within_watermark",
     "schema_evolution_union", "parquet_schema_merge",
     "nested_struct_json", "null_ordering", "limit_offset_pagination",
-    # red/erred driver rows from round 3, fixed this round
-    "fuzzy_match", "decimal_agg", "sequence_packing",
-    "stream_late_data",
-    # changed this round (describe type pin, file-listing refresh)
-    "describe_table", "csv_permissive_parse",
-    # never driver-checked (added late in round 3)
-    "insert_overwrite_directory", "full_outer_join",
-    "msck_repair_discovery", "xpath_extract", "window_ignore_nulls",
-    "format_number_grouped",
     # streaming family: events stream reader rewritten this round
     # (schema probe replaces the hardcoded epoch-nanos layout)
     "stream_windowed_counts", "stream_sessionization",
