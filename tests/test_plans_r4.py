@@ -1,0 +1,74 @@
+"""Round-4 operator plan shapes: broadcast scalars, anti-join probes,
+map-only pipelines (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hdsp_hive_release_src_spark import registry
+from hdsp_hive_release_src_spark.plans import explain_str
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["balanced_class_sample", "mixture_weights",
+     "incremental_high_watermark"],
+)
+def test_scalar_side_is_broadcast(spark, name):
+    """Queries joining a scalar/target aggregate against the corpus
+    must broadcast the scalar side — the corpus never shuffles for a
+    one-row join."""
+    df = registry.QUERIES[name](spark, SF)
+    plan = explain_str(df, "simple")
+    assert (
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dq_orphan_probe_is_anti_join(spark):
+    """The referential-orphan check must be an anti join over the
+    DISTINCT key set, never a row-level inner join."""
+    df = registry.QUERIES["dq_audit"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_chunk_overlap", "embedding_quantize",
+             "frame_sample_plumbing", "nested_struct_json"]
+)
+def test_map_only_ops_have_no_exchange_before_output(spark, name):
+    """Chunking/quantization/frame-sampling/struct-export are map-only:
+    no join and no aggregation shuffle (the only allowed exchange is
+    the final presentation orderBy's range partitioning)."""
+    df = registry.QUERIES[name](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert not hash_exchanges, plan
+
+
+def test_scd2_single_shuffle(spark):
+    """Both SCD2 window passes share the custkey partitioning — the
+    plan must contain exactly one hash exchange."""
+    df = registry.QUERIES["scd2_dimension"](spark, SF)
+    plan = explain_str(df, "simple")
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan
