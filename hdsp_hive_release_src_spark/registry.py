@@ -112,6 +112,7 @@ def load_all() -> None:
         engine_surface2,
         functions_suite2,
         schema_surface,
+        functions_suite3,
         streaming,
         sources,
         events,
