@@ -175,3 +175,139 @@ def test_asof_join_matches_model(spark, left_ts, right_ts):
         lt = int(r.lt.replace(tzinfo=timezone.utc).timestamp())
         want = max((t for t in rts if t <= lt), default=None)
         assert r.rv_right == want, (lt, rts, r.rv_right, want)
+
+
+@st.composite
+def change_streams(draw):
+    """Per-key ordered (ts, seq, op, val) change streams with dup ts."""
+    n_keys = draw(st.integers(1, 4))
+    out = []
+    for k in range(n_keys):
+        n = draw(st.integers(1, 8))
+        for seq in range(n):
+            out.append(
+                (
+                    k,
+                    draw(st.integers(0, 5)),  # ts (collisions likely)
+                    seq,
+                    draw(st.sampled_from(["U", "U", "U", "D"])),
+                    draw(st.integers(0, 99)),
+                )
+            )
+    return out
+
+
+def _model_cdc(rows):
+    """Last-writer-wins by (ts, seq); drop keys whose final op is D."""
+    final = {}
+    for k, ts, seq, op, val in rows:
+        cur = final.get(k)
+        if cur is None or (ts, seq) > (cur[0], cur[1]):
+            final[k] = (ts, seq, op, val)
+    return sorted(
+        (k, v[3]) for k, v in final.items() if v[2] != "D"
+    )
+
+
+@SLOW
+@given(change_streams())
+def test_cdc_last_writer_wins_matches_model(spark, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "k long, ts long, seq long, op string, val long"
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    got = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("k", "val")
+            .collect(),
+        )
+    )
+    assert got == _model_cdc(rows)
+
+
+def _model_scd2(hist):
+    """hist: sorted (ts, attr) per key → list of (attr, from, to|None)."""
+    versions = []
+    prev = None
+    for ts, attr in hist:
+        if prev is None or attr != prev:
+            versions.append([attr, ts, None])
+            prev = attr
+    for i in range(len(versions) - 1):
+        versions[i][2] = versions[i + 1][1]
+    return [tuple(v) for v in versions]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from("ABC")),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_scd2_intervals_match_model(spark, hist):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hist = sorted(hist)
+    df = spark.createDataFrame(
+        [(1, ts, a) for ts, a in hist], "k long, ts long, attr string"
+    )
+    w = Window.partitionBy("k").orderBy("ts")
+    changes = df.withColumn("prev", F.lag("attr").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("attr"))
+    )
+    out = changes.select(
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    got = sorted(map(tuple, out.collect()), key=lambda r: r[1])
+    assert got == _model_scd2(hist)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.floats(-10, 10)),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_time_weighted_avg_matches_model(spark, samples):
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    samples = sorted(samples)
+    num = sum(
+        v * (samples[i + 1][0] - t)
+        for i, (t, v) in enumerate(samples[:-1])
+    )
+    den = samples[-1][0] - samples[0][0]
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in samples], "k long, ts long, v double"
+    )
+    w = Window.partitionBy("k").orderBy("ts")
+    s = df.select(
+        "k", "v", (F.lead("ts").over(w) - F.col("ts")).alias("dur")
+    ).where(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    got = s.groupBy("k").agg(
+        (F.sum(F.col("v") * F.col("dur")) / F.sum("dur")).alias("twa")
+    ).collect()
+    if den > 0:
+        assert math.isclose(got[0]["twa"], num / den, rel_tol=1e-9)
+    else:
+        assert not got
