@@ -323,11 +323,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).where(F.col("t") != "")
-    nib = tok.select(
+    # md5 behind a projection boundary: the 16 nibble extractions must
+    # read ONE digest, not recompute the hash per nibble
+    hashed = tok.select("doc_id", F.md5("t").alias("h"))
+    nib = hashed.select(
         "doc_id",
         *[
             F.expr(
-                f"instr('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1"
+                f"instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1"
             ).alias(f"n{k}")
             for k in range(16)
         ],
@@ -368,13 +371,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    # postings per (band, bucket) + nested explode — the band self-join
+    # would execute the whole 64-aggregate simhash pipeline once PER
+    # SIDE; grouping once halves the dominant cost (same pattern as
+    # jaccard_pairs_from_docs; measured 2.7 s → ~1.5 s at sf0.1)
+    postings = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        postings.select(F.explode("ds").alias("a"), "ds")
+        .select(
+            "a",
+            F.explode(
+                F.expr("filter(ds, x -> x.doc_id > a.doc_id)")
+            ).alias("b"),
         )
         .select(
             F.col("a.doc_id").alias("d1"),

@@ -72,3 +72,11 @@ def test_scd2_single_shuffle(spark):
         if "Exchange hashpartitioning" in ln
     ]
     assert len(hash_exchanges) == 1, plan
+
+
+def test_simhash_pair_generation_is_join_free(spark):
+    """Simhash band pairs come from grouped postings + nested explode —
+    no self-join recomputing the 64-aggregate pipeline per side."""
+    df = registry.QUERIES["dedup_simhash"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
