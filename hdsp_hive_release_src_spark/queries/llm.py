@@ -234,16 +234,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.expr(bands_expr)).alias("band", "bh"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # grouped bucket postings + nested explode instead of a band
+    # self-join: the join would run the 64-hash signature pipeline once
+    # per side (same rework as jaccard/simhash pair generation)
+    postings = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        postings.select(F.explode("ds").alias("d1"), "ds")
         .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            "d1",
+            F.explode(F.expr("filter(ds, x -> x > d1)")).alias("d2"),
         )
         .distinct()
     )
