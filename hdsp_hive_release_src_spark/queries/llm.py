@@ -39,7 +39,7 @@ from hdsp_hive_release_src_spark.functions.text import (
     stopword_hits,
 )
 from hdsp_hive_release_src_spark.functions.vectors import (
-    cosine_similarity,
+    dot,
     l2_norm,
     to_double,
 )
@@ -448,8 +448,14 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
     a, b = n.alias("a"), n.alias("b")
+    # norms come from the per-ROW projection — the per-pair work is one
+    # dot-product fold, not dot + two norm folds (3× per-pair cost on
+    # the O(n²) hot loop; same sequential fold order, so the rounded
+    # value and oracle parity are unchanged)
     cos = F.round(
-        cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
