@@ -159,15 +159,20 @@ def jaccard_pairs_from_docs(
 
     Shape: instead of a g-keyed self-join (which scans the exploded
     index twice and needs a third pass to count df), group the index
-    ONCE per shingle into a postings array — the df-cap is then just a
-    size() filter on the array — and emit pairs with a nested explode
-    over the postings. One scan of the corpus, the same two shuffles
-    the self-join needed anyway (g, then pair agg), zero extra passes:
-    measured 3.5 s → 2.1 s at sf0.1 over the join+broadcast-anti
-    variant. Per-group memory is bounded by the cap (≤ max_shingle_df
-    structs), so collect_list cannot blow an executor at any corpus
-    size. A window-over-the-join-exchange variant was also measured
-    SLOWER (5.3 s): the per-partition sort costs more than either.
+    ONCE per shingle into a SORTED postings array — the df-cap is then
+    just a size() filter on the array — and emit ordered pairs with
+    posexplode + a positional slice of the suffix. One scan of the
+    corpus, the same two shuffles the self-join needed anyway (g, then
+    pair agg), zero extra passes, and no per-element lambda in the
+    pair loop. Measured at 50k docs (10× sf0.1, local[32]): 2.5 s vs
+    6.1 s for the join+broadcast-anti shape; on a clone-saturated
+    worst case (every doc has 9 near-identical clones, 250k true
+    pairs) 30 s vs 55 s — the slice variant wins in BOTH the sparse
+    and the pair-dense regime, where a filter-lambda variant
+    (`filter(ds, x -> x.doc_id > a.doc_id)`) degraded 3× on dense
+    postings from per-element predicate evaluation. Per-group memory
+    is bounded by the cap (≤ max_shingle_df structs), so collect_list
+    cannot blow an executor at any corpus size.
     """
     sh = d.select("doc_id", word_shingles("text").alias("sh"))
     sized = sh.select(
@@ -177,15 +182,19 @@ def jaccard_pairs_from_docs(
     )
     postings = (
         sized.groupBy("g")
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n"))
+            ).alias("ds")
+        )
         .where(F.size("ds").between(2, max_shingle_df))
     )
     pairs = (
-        postings.select(F.explode("ds").alias("a"), "ds")
+        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
             "a",
             F.explode(
-                F.expr("filter(ds, x -> x.doc_id > a.doc_id)")
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
             ).alias("b"),
         )
         .groupBy(
@@ -234,19 +243,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.expr(bands_expr)).alias("band", "bh"),
     )
-    # grouped bucket postings + nested explode instead of a band
+    # sorted bucket postings + posexplode/slice instead of a band
     # self-join: the join would run the 64-hash signature pipeline once
     # per side (same rework as jaccard/simhash pair generation)
     postings = (
         banded.groupBy("band", "bh")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
     cand = (
-        postings.select(F.explode("ds").alias("d1"), "ds")
+        postings.select(F.posexplode("ds").alias("i", "d1"), "ds")
         .select(
             "d1",
-            F.explode(F.expr("filter(ds, x -> x > d1)")).alias("d2"),
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("d2"),
         )
         .distinct()
     )
@@ -374,23 +385,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bh")
-    # postings per (band, bucket) + nested explode — the band self-join
-    # would execute the whole 64-aggregate simhash pipeline once PER
-    # SIDE; grouping once halves the dominant cost (same pattern as
-    # jaccard_pairs_from_docs; measured 2.7 s → ~1.5 s at sf0.1)
+    # sorted postings per (band, bucket) + posexplode/slice — the band
+    # self-join would execute the whole 64-aggregate simhash pipeline
+    # once PER SIDE; grouping once halves the dominant cost, and the
+    # positional slice avoids per-element lambda evaluation in dense
+    # buckets (same shape as jaccard_pairs_from_docs)
     postings = (
         banded.groupBy("band", "bh")
         .agg(
-            F.collect_list(F.struct("doc_id", "simhash")).alias("ds")
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
         )
         .where(F.size("ds") >= 2)
     )
     pairs = (
-        postings.select(F.explode("ds").alias("a"), "ds")
+        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
             "a",
             F.explode(
-                F.expr("filter(ds, x -> x.doc_id > a.doc_id)")
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
             ).alias("b"),
         )
         .select(
