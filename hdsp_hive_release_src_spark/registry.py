@@ -113,6 +113,7 @@ def load_all() -> None:
         functions_suite2,
         schema_surface,
         functions_suite3,
+        functions_suite4,
         streaming,
         sources,
         events,
