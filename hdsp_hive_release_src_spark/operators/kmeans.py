@@ -37,6 +37,11 @@ def _nearest_cid(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Colu
             float(sum(x * x for x in c))
         )
         structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    # shape validated empirically: an unrolled element_at(v,i)*c_i
+    # arithmetic variant (k×dim flat terms, "better codegen" in
+    # theory) measured 3.4× SLOWER than this zip_with/aggregate fold
+    # at sf0.1 — the giant expression tree costs more than the
+    # higher-order evaluation saves
     return F.array_min(F.array(*structs))["cid"]
 
 
