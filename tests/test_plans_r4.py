@@ -80,3 +80,18 @@ def test_simhash_pair_generation_is_join_free(spark):
     df = registry.QUERIES["dedup_simhash"](spark, SF)
     plan = explain_str(df, "simple")
     assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"]
+)
+def test_pair_outputs_are_strictly_ordered(spark, name):
+    """Postings-slice pair generation must emit each unordered pair
+    once, as (d1 < d2) — no self-pairs, no mirrored duplicates (relies
+    on per-doc distinct index entries; this guards that invariant)."""
+    rows = registry.QUERIES[name](spark, SF).collect()
+    seen = set()
+    for r in rows:
+        assert r[0] < r[1], (name, r)
+        assert (r[0], r[1]) not in seen, (name, r)
+        seen.add((r[0], r[1]))
