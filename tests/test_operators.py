@@ -167,3 +167,24 @@ def test_jaccard_df_cap_drops_viral_shingles(spark):
         docs, max_shingle_df=10**6
     ).collect()
     assert len(uncapped) == 30 * 29 // 2
+
+
+def test_jaccard_pairs_empty_and_singleton_inputs(spark):
+    """Degenerate corpora: no docs and one doc must both yield zero
+    pairs (guards the postings-slice pair generation's boundary)."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        jaccard_pairs_from_docs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert jaccard_pairs_from_docs(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    assert jaccard_pairs_from_docs(one).count() == 0
+    twins = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    rows = jaccard_pairs_from_docs(twins).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in rows] == [(1, 2, 1.0)]
