@@ -374,3 +374,82 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(4 AS BIGINT) AS n_files_after
+    FROM orders WHERE o_orderkey < 8000
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the nightly chore of every streaming
+    ingest: a deliberately fragmented table (40 shards) rewritten to a
+    fixed file count with repartition before the write. Content must
+    survive byte-exact (row count + key checksum vs the source), and
+    the file count is read back from disk, proving the layout change
+    actually happened. At 100 TB you'd target a file SIZE
+    (maxRecordsPerFile / AQE coalescing) rather than a count, and
+    compact per partition."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 8000)
+    frag = scratch_path("compact_frag", sf_dir)
+    tidy = scratch_path("compact_tidy", sf_dir)
+    for p in (frag, tidy):
+        shutil.rmtree(p, ignore_errors=True)
+    o.repartition(40).write.parquet(frag)
+    spark.catalog.refreshByPath(frag)
+    spark.read.parquet(frag).repartition(4).write.parquet(tidy)
+    spark.catalog.refreshByPath(tidy)
+    back = spark.read.parquet(tidy)
+    n_files = back.select(
+        F.count_distinct(F.col("_metadata.file_path")).alias("nf")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).join(F.broadcast(n_files)).select(
+        "n_rows", "key_sum", F.col("nf").cast("long").alias("n_files_after")
+    )
+
+
+@query(
+    "metadata_columns",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS sizes_positive
+    FROM orders WHERE o_orderkey < 6000
+    """,
+)
+def metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (_metadata.file_path / file_size) —
+    the lineage surface ingest auditing reads (which file did this row
+    come from, was the file non-empty) without a separate listing job.
+    A 3-shard scratch table proves the per-file attribution: distinct
+    file count, total rows, and positive file sizes."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 6000)
+    path = scratch_path("meta_cols", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o.repartition(3).write.parquet(path)
+    spark.catalog.refreshByPath(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count_distinct(F.col("_metadata.file_path"))
+        .cast("long")
+        .alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.col("_metadata.file_size") > 0).alias(
+            "sizes_positive"
+        ),
+    )

@@ -30,6 +30,8 @@ WRITING_QUERIES = [
     "cache_table_reuse",
     "binaryfile_source",
     "parquet_schema_merge",
+    "compact_small_files",
+    "metadata_columns",
 ]
 
 
