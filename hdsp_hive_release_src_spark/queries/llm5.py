@@ -176,3 +176,75 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "chunk_dedup_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_slice(ws, off + 1,
+                            least(off + {CHUNK}, len(ws))), ' '))
+                 AS chunk_hash
+      FROM t, unnest(range(0, greatest(len(ws), 1), {STRIDE}))
+                AS u(off)),
+    dedup AS (
+      SELECT chunk_hash, min(doc_id) AS keeper,
+             count(*) AS n_copies
+      FROM c GROUP BY chunk_hash)
+    SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(n_copies) AS BIGINT) AS n_total_chunks,
+           CAST(count_if(n_copies > 1) AS BIGINT) AS n_duplicated,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dropped
+    FROM dedup
+    """,
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup — the pipeline composition the
+    doc-level ops can't see: documents are cut with the SAME
+    chunker as doc_chunk_overlap, then chunks dedup by content hash
+    keeping the lowest doc_id (pretraining dedups CHUNKS because a
+    boilerplate header repeated across distinct docs survives doc-level
+    dedup). Map-only chunking into one hash-groupBy shuffle; the audit
+    row reports unique/total/duplicated/dropped — what a curation run
+    logs. Near-dup chunk variants plug in by swapping the hash for the
+    minhash signature (dedup_minhash_lsh)."""
+    d = Catalog(spark, sf_dir).documents
+    ws = F.split("text", " ")
+    chunks = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("ws") - 1, F.lit(0)),
+                    F.lit(STRIDE),
+                )
+            ).alias("off"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("ws"), F.col("off") + 1, F.lit(CHUNK))
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    dedup = chunks.groupBy("chunk_hash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return dedup.agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("n_copies").cast("long").alias("n_total_chunks"),
+        F.count_if(F.col("n_copies") > 1).alias("n_duplicated"),
+        (F.sum("n_copies") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
