@@ -280,3 +280,150 @@ def incremental_high_watermark(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "delete_update_emulation",
+    oracle="""
+    WITH after_delete AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey < 5000 AND NOT o_orderstatus = 'P'),
+    after_update AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN cents * 105 // 100 ELSE cents END AS cents
+      FROM after_delete)
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM after_update GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delete_update_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ACID DELETE + UPDATE statement semantics, emulated the way
+    every non-ACID lakehouse does it — copy-on-write rewrite: DELETE is
+    a filtered rewrite of the table file set, UPDATE a projected
+    rewrite, both materialized to a scratch table and read back (so
+    the check covers the persisted result, not just the expression).
+    With Delta/Iceberg mounted the same statements run natively;
+    merge_upsert covers the MERGE third of the triad."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 5000)
+    path = scratch_path("acid_emulation", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    # money rides as integer cents through the whole rewrite: per-row
+    # double rounding (round(x*1.05, 2)) flips at representational
+    # boundaries BETWEEN engines, while integer `div` cannot
+    o.withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    ).write.parquet(path)
+    spark.catalog.refreshByPath(path)
+    tbl = spark.read.parquet(path)
+    # DELETE FROM t WHERE o_orderstatus = 'P'  → filtered rewrite
+    deleted = tbl.where(~(F.col("o_orderstatus") == "P"))
+    # UPDATE t SET price = price*1.05 WHERE urgent → projected rewrite
+    updated = deleted.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.expr("cents * 105 div 100"),
+        ).otherwise(F.col("cents")),
+    )
+    out = f"{path}_v2"
+    shutil.rmtree(out, ignore_errors=True)
+    updated.write.parquet(out)
+    spark.catalog.refreshByPath(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "nested_types_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             string_split(o_orderpriority, '-') AS tags,
+             {'status': o_orderstatus,
+              'price': round(o_totalprice, 2)} AS meta
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT count(*) AS n,
+           CAST(sum(len(tags)) AS BIGINT) AS total_tags,
+           round(sum(meta.price), 2) AS total_price,
+           CAST(count(DISTINCT meta.status) AS BIGINT) AS n_status
+    FROM src
+    """,
+)
+def nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type IO: array + struct columns written to parquet and
+    read back, with the aggregation running on the PERSISTED nested
+    data (dotted struct access, array length) — proves nested schemas
+    survive the writer/reader round trip, the prerequisite for every
+    document-shaped table. The oracle computes the same from the flat
+    source."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    nested = o.select(
+        "o_orderkey",
+        F.split("o_orderpriority", "-").alias("tags"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("meta"),
+    )
+    path = scratch_path("nested_types", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    nested.write.parquet(path)
+    spark.catalog.refreshByPath(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("tags")).cast("long").alias("total_tags"),
+        F.round(F.sum("meta.price"), 2).alias("total_price"),
+        F.count_distinct("meta.status").alias("n_status"),
+    )
+
+
+@query(
+    "date_parse_formats",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y/%m/%d')
+               AS slash_form,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%d-%b-%Y')
+               AS dmy_form,
+           CAST(strptime(strftime(CAST(o_orderdate AS TIMESTAMP),
+                '%Y/%m/%d'), '%Y/%m/%d') AS TIMESTAMP) AS reparsed
+    FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+    """,
+)
+def date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format / to_timestamp custom patterns — the
+    format-string surface every Hive report and ingest script leans
+    on, exercised as a round trip: format to two layouts (numeric and
+    abbreviated-month) and re-parse back to the original timestamp.
+    Each engine uses its own pattern dialect (Java letters vs
+    strftime) but must produce the identical text and re-parsed
+    instant."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 400)
+    od = F.col("o_orderdate").cast("timestamp")
+    slash = F.date_format(od, "yyyy/MM/dd")
+    return o.select(
+        "o_orderkey",
+        slash.alias("slash_form"),
+        F.date_format(od, "dd-MMM-yyyy").alias("dmy_form"),
+        F.to_timestamp(slash, "yyyy/MM/dd").alias("reparsed"),
+    ).orderBy("o_orderkey")
