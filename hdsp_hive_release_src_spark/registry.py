@@ -114,6 +114,7 @@ def load_all() -> None:
         schema_surface,
         functions_suite3,
         functions_suite4,
+        graph,
         streaming,
         sources,
         events,
