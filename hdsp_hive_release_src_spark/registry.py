@@ -115,6 +115,7 @@ def load_all() -> None:
         functions_suite3,
         functions_suite4,
         graph,
+        product_analytics,
         streaming,
         sources,
         events,
