@@ -155,3 +155,59 @@ def cache_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("cache_orders_agg").orderBy("o_orderstatus")
+
+
+@query(
+    "join_hint_strategies",
+    oracle="""
+    SELECT 'broadcast' AS strategy, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey < 500
+    UNION ALL
+    SELECT 'merge', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey < 500
+    UNION ALL
+    SELECT 'shuffle_hash', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey < 500
+    ORDER BY strategy
+    """,
+)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy hint surface (BROADCAST / MERGE /
+    SHUFFLE_HASH): the SAME join executed under each hint must produce
+    identical results — hints steer the physical planner, never the
+    semantics. tests/test_plans_r4.py asserts each hint actually
+    selects its operator (BroadcastHashJoin / SortMergeJoin /
+    ShuffledHashJoin). This is the manual override for the cases AQE
+    stats get wrong — the escape hatch every tuning guide reaches for."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    c = cat.customer.where(F.col("c_custkey") < 500)
+
+    def joined(hint: str):
+        return (
+            o.join(c.hint(hint), F.col("o_custkey") == F.col("c_custkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+        )
+
+    return (
+        joined("broadcast")
+        .select(F.lit("broadcast").alias("strategy"), "n", "key_sum")
+        .unionByName(
+            joined("merge").select(
+                F.lit("merge").alias("strategy"), "n", "key_sum"
+            )
+        )
+        .unionByName(
+            joined("shuffle_hash").select(
+                F.lit("shuffle_hash").alias("strategy"), "n", "key_sum"
+            )
+        )
+        .orderBy("strategy")
+    )

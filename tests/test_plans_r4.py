@@ -95,3 +95,21 @@ def test_pair_outputs_are_strictly_ordered(spark, name):
         assert r[0] < r[1], (name, r)
         assert (r[0], r[1]) not in seen, (name, r)
         seen.add((r[0], r[1]))
+
+
+def test_join_hints_select_their_operators(spark):
+    """Each strategy hint must reach its physical operator."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).where(F.col("c_custkey") < 500)
+    for hint, op in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = explain_str(j, "simple")
+        assert op in plan, (hint, plan)
