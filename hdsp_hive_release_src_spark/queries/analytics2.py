@@ -1,0 +1,169 @@
+"""SURVEY.md §2.2 continued — analytics wave 2: numeric RANGE window
+frames, ratio-to-report contribution, equi-depth histograms, and
+sequence-gap detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "range_frame_numeric",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS price,
+           CAST(count(*) OVER w AS BIGINT) AS n_near,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS near_cents
+    FROM orders WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def range_frame_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame (±10000 of the current VALUE, not ±N rows) —
+    the price-band peer-group window the ROWS-frame queries can't
+    express: each order is compared against all orders of similar
+    price within its priority class. Value-range frames need no
+    tiebreak to stay deterministic (peers are defined by value
+    equality) — the property that distinguishes RANGE from ROWS. The
+    in-frame money total rides as integer cents: a windowed double
+    avg rounds differently across engines' summation orders."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_near"),
+        F.sum(cents).over(w).cast("long").alias("near_cents"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "ratio_to_report",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment)
+    SELECT c_mktsegment, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share,
+           round(revenue / max(revenue) OVER (), 6) AS vs_best
+    FROM seg ORDER BY c_mktsegment
+    """,
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — THE reporting idiom (segment share of total,
+    index vs the best segment) via an empty-frame window over the
+    AGGREGATED result: the whole-table window runs on 5 rows, never
+    the fact table, which is the only scale-sane place for a global
+    window."""
+    cat = Catalog(spark, sf_dir)
+    seg = (
+        cat.orders.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "share"
+        ),
+        F.round(F.col("revenue") / F.max("revenue").over(w), 6).alias(
+            "vs_best"
+        ),
+    ).orderBy("c_mktsegment")
+
+
+@query(
+    "histogram_equi_depth",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (ntile deciles: equal row counts, derived
+    boundaries) — the stats histogram optimizers keep, vs
+    histogram_bins' equi-WIDTH buckets. The orderkey tiebreak pins
+    which duplicate price lands in which bucket so both engines cut
+    identically. Global ntile sorts the column — at 100 TB swap to
+    approx percentile boundaries + one bucketing pass (the
+    percentile_approx query is that path)."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "sequence_gap_detection",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey < 3000 AND o_orderkey % 97 <> 0),
+    gaps AS (
+      SELECT k, lead(k) OVER (ORDER BY k) AS next_k FROM ids)
+    SELECT k AS gap_after,
+           CAST(next_k - k - 1 AS BIGINT) AS missing
+    FROM gaps WHERE next_k - k > 1
+    ORDER BY gap_after
+    """,
+)
+def sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection: holes in a supposedly-contiguous id
+    space (the load-completeness audit — a gap means a batch was
+    dropped). lead() over the ordered distinct ids emits one row per
+    gap with its width; a single global window over the DISTINCT key
+    set (small), never the fact rows. Known holes are punched (every
+    97th key dropped) so the detector provably FIRES — a gap query
+    that returns zero rows proves nothing."""
+    o = Catalog(spark, sf_dir).orders.where(
+        (F.col("o_orderkey") < 3000) & (F.col("o_orderkey") % 97 != 0)
+    )
+    ids = o.select(F.col("o_orderkey").alias("k")).distinct()
+    w = Window.orderBy("k")
+    gaps = ids.select("k", F.lead("k").over(w).alias("next_k"))
+    return (
+        gaps.where(F.col("next_k") - F.col("k") > 1)
+        .select(
+            F.col("k").alias("gap_after"),
+            (F.col("next_k") - F.col("k") - 1)
+            .cast("long")
+            .alias("missing"),
+        )
+        .orderBy("gap_after")
+    )

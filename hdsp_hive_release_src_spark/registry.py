@@ -116,6 +116,7 @@ def load_all() -> None:
         functions_suite4,
         graph,
         product_analytics,
+        analytics2,
         streaming,
         sources,
         events,
