@@ -1,0 +1,176 @@
+"""SURVEY.md §2.2 continued — statistics wave 2: higher moments
+(skewness/kurtosis), weighted median, tie-broken deterministic mode,
+and distribution entropy/Gini — the distribution-audit toolkit a
+data-quality or training-mixture report runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "skewness_kurtosis_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag AS grp, avg(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_returnflag),
+    moments AS (
+      SELECT grp,
+             avg(pow(l_extendedprice - m, 2)) AS m2,
+             avg(pow(l_extendedprice - m, 3)) AS m3,
+             avg(pow(l_extendedprice - m, 4)) AS m4
+      FROM lineitem JOIN mu ON l_returnflag = grp GROUP BY grp)
+    SELECT grp,
+           round(m3 / pow(m2, 1.5), 6) AS skew,
+           round(m4 / pow(m2, 2) - 3, 6) AS kurt
+    FROM moments ORDER BY grp
+    """,
+)
+def skewness_kurtosis_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """skewness() / kurtosis() — the shape moments a distribution
+    audit reads (price skew flags long-tail segments). Spark's
+    builtins are POPULATION moments while DuckDB's are
+    sample-corrected, so the oracle recomputes Spark's definition from
+    explicit central moments — itself a worthwhile parity pin: the
+    correction-factor difference silently shifts every ported report."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+            F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             CAST(o_orderkey % 5 + 1 AS BIGINT) AS wt,
+             o_orderkey
+      FROM orders WHERE o_orderkey < 5000),
+    cum AS (
+      SELECT grp, v, o_orderkey,
+             sum(wt) OVER (PARTITION BY grp ORDER BY v, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY grp) AS tw
+      FROM w)
+    SELECT grp, round(min(v), 2) AS weighted_median
+    FROM cum WHERE cw * 2 >= tw GROUP BY grp ORDER BY grp
+    """,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (no builtin anywhere): the first value whose
+    cumulative weight reaches half the total, per group — the
+    survey-statistics / cost-model primitive. One value-ordered window
+    cumsum per partition; weights derive deterministically from the
+    key so the oracle replays them."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 5000)
+    w = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 5 + 1).cast("long").alias("wt"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("grp")
+    wo = wp.orderBy("v", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "grp",
+        "v",
+        F.sum("wt").over(wo).alias("cw"),
+        F.sum("wt").over(wp).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("grp")
+        .agg(F.round(F.min("v"), 2).alias("weighted_median"))
+        .orderBy("grp")
+    )
+
+
+@query(
+    "mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY n DESC, c_nationkey) AS rn
+      FROM counts)
+    SELECT c_mktsegment,
+           CAST(c_nationkey AS BIGINT) AS mode_nation,
+           CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+)
+def mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the builtin mode() returns an ARBITRARY
+    value on tied frequencies (a cross-engine parity trap), so the
+    engine provides the tie-broken form — count per value, then
+    max_by on (count, -value): highest frequency, lowest value wins
+    ties, reproducibly on every engine."""
+    c = Catalog(spark, sf_dir).customer
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("c_mktsegment")
+        .agg(
+            F.max_by(
+                "c_nationkey",
+                F.struct(F.col("n"), (-F.col("c_nationkey")).alias("k")),
+            )
+            .cast("long")
+            .alias("mode_nation"),
+            F.max("n").cast("long").alias("mode_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "distribution_entropy",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             count(*) * 1.0 / sum(count(*)) OVER () AS prob
+      FROM documents GROUP BY lang)
+    SELECT round(-sum(prob * ln(prob)) / ln(2), 6) AS entropy_bits,
+           round(1 - sum(prob * prob), 6) AS gini,
+           CAST(count(*) AS BIGINT) AS n_classes
+    FROM p
+    """,
+)
+def distribution_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) + Gini impurity of the corpus language
+    distribution — the one-number diversity audits a training-mixture
+    report tracks round over round (entropy collapse = a source
+    drowned the mix). Class probabilities come from one aggregation;
+    the entropy sum runs over the class-count result (tiny)."""
+    d = Catalog(spark, sf_dir).documents
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    p = counts.select(
+        (F.col("n") / F.sum("n").over(w)).alias("prob")
+    )
+    return p.agg(
+        F.round(
+            -F.sum(F.col("prob") * F.log(F.col("prob"))) / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_bits"),
+        F.round(1 - F.sum(F.col("prob") * F.col("prob")), 6).alias("gini"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )

@@ -117,6 +117,7 @@ def load_all() -> None:
         graph,
         product_analytics,
         analytics2,
+        stats2,
         streaming,
         sources,
         events,
