@@ -118,6 +118,7 @@ def load_all() -> None:
         product_analytics,
         analytics2,
         stats2,
+        llm6,
         streaming,
         sources,
         events,
