@@ -119,6 +119,7 @@ def load_all() -> None:
         analytics2,
         stats2,
         llm6,
+        events2,
         streaming,
         sources,
         events,
