@@ -120,6 +120,7 @@ def load_all() -> None:
         stats2,
         llm6,
         events2,
+        functions_suite5,
         streaming,
         sources,
         events,
