@@ -130,3 +130,71 @@ def quantity_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "unit_no")
     )
+
+
+@query(
+    "json_array_explode",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderkey % 7 AS BIGINT) AS q
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, CAST(o_orderkey % 11 AS BIGINT) AS q
+    FROM orders WHERE o_orderkey < 1000
+    ORDER BY o_orderkey, q
+    """,
+)
+def json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ARRAY parsing (the shape typed_json's object parse doesn't
+    cover): a per-row JSON array of objects is schema-parsed with
+    from_json('array<struct>') and exploded to one row per element —
+    the nested-API-response ingestion shape. The array is built
+    deterministically from the key, so the oracle replays the two
+    elements relationally — proving the parse+explode recovered
+    exactly the planted values."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 1000)
+    arr_json = F.concat(
+        F.lit('[{"q": '),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('}, {"q": '),
+        (F.col("o_orderkey") % 11).cast("string"),
+        F.lit("}]"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.explode(
+            F.from_json(arr_json, "array<struct<q:long>>")
+        ).alias("el"),
+    )
+    return parsed.select(
+        "o_orderkey", F.col("el.q").alias("q")
+    ).orderBy("o_orderkey", "q")
+
+
+@query(
+    "listagg_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT CAST(c_nationkey % 5 AS VARCHAR)
+                      ORDER BY CAST(c_nationkey % 5 AS VARCHAR))
+               AS nations_mod
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(DISTINCT ... ) WITHIN GROUP — the deduplicating ordered
+    string aggregation (SQL:2023 surface, Spark 4): distinct values
+    concatenated in a pinned order, the report-ready companion to
+    listagg_sorted's bag semantics."""
+    Catalog(spark, sf_dir).customer.createOrReplaceTempView(
+        "la_customer_src"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(DISTINCT CAST(c_nationkey % 5 AS STRING), ',')
+                   WITHIN GROUP (ORDER BY CAST(c_nationkey % 5 AS STRING))
+                   AS nations_mod
+        FROM la_customer_src
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
