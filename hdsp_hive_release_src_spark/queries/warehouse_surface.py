@@ -166,7 +166,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            od AS valid_from,
            coalesce(lead(od) OVER (PARTITION BY o_custkey
                                    ORDER BY od, o_orderkey),
-                    TIMESTAMP '9999-12-31') AS valid_to,
+                    TIMESTAMP '2200-01-01') AS valid_to,
            (lead(od) OVER (PARTITION BY o_custkey
                            ORDER BY od, o_orderkey) IS NULL)
                AS is_current
@@ -180,7 +180,14 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic warehouse change-tracking shape. Two window passes per
     key partition (change detection, then interval close-off); at
     100 TB both windows share the custkey partitioning so the dimension
-    builds with a single shuffle."""
+    builds with a single shuffle.
+
+    Open-interval sentinel is 2200-01-01, NOT the traditional
+    9999-12-31: pandas nanosecond timestamps max out at 2262-04-11, so
+    the far-future sentinel is unrepresentable in any pandas-based
+    consumer (it killed the r4 driver row before comparison). Interval
+    semantics are identical — `is_current` is the authoritative
+    open-row marker either way."""
     o = Catalog(spark, sf_dir).orders.where(F.col("o_custkey") < 100)
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("od"), F.col("o_orderkey")
@@ -204,7 +211,7 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("attr"),
             F.col("od").alias("valid_from"),
             F.coalesce(
-                lead_od, F.lit("9999-12-31").cast("timestamp")
+                lead_od, F.lit("2200-01-01").cast("timestamp")
             ).alias("valid_to"),
             lead_od.isNull().alias("is_current"),
         )

@@ -25,6 +25,13 @@ def test_oracle_parity_all(name, spark, sf_dir, duck):
     tune_for_oracle(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")  # test speed
     df = QUERIES[name](spark, sf_dir)
+    # The external gate canonicalizes results THROUGH pandas — values a
+    # Spark row can hold but pandas cannot (ns-overflow timestamps past
+    # 2262-04-11, r4's scd2 sentinel; exotic nested cells, r3's
+    # fuzzy_match lists) kill the row before comparison. Every
+    # registered query must survive the pandas conversion, not just
+    # collect().
+    df.toPandas()
     if name in ORACLES:
         oracle_compare(df, duck, ORACLES[name])
     else:
