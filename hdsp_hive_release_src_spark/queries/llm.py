@@ -138,6 +138,52 @@ def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Band-bucket size cap for the LSH/SimHash pair generators. A band
+# hash bucket only grows past ~corpus/2^16 (uniform band-hash entropy)
+# when it holds a genuine near-duplicate mega-cluster — which exact
+# dedup upstream should have collapsed first. Capped buckets lose no
+# pairs unless a cluster saturates EVERY band, the regime where
+# pairwise near-dup is the wrong tool anyway (dedup_components /
+# dedup_exact handle it in O(n)). Far above any bucket in this corpus,
+# so test-scale results are exact.
+MAX_BAND_BUCKET = 2000
+
+
+def bounded_sorted_postings(
+    exploded: DataFrame,
+    keys: list[str],
+    payload,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Group ``exploded`` (one row per (key, member)) into a SORTED
+    postings array per key, with the group-size filter applied BEFORE
+    collect_list ever materializes a hot group.
+
+    The pre-filter is a count over ``Window.partitionBy(keys)``:
+    WindowExec buffers each key group in a spillable
+    ExternalAppendOnlyUnsafeRowArray, so a viral key (df far past
+    ``max_df``) spills to disk and is then FILTERED — it never reaches
+    the aggregation buffer. A plain ``collect_list → size() filter``
+    would materialize the full postings array for the viral key in one
+    in-memory agg buffer first (Spark cannot push a size() predicate
+    below the agg). Plan shape: one exchange on ``keys`` shared by the
+    window and the aggregation (the agg's required distribution is
+    satisfied by the window's), sorted input, no join, no extra scan —
+    same cost class as the unguarded agg plus one in-partition sort."""
+    wf = Window.partitionBy(*keys)
+    size_ok = F.col("__df") >= min_df
+    if max_df is not None:
+        size_ok = size_ok & (F.col("__df") <= max_df)
+    return (
+        exploded.withColumn("__df", F.count(F.lit(1)).over(wf))
+        .where(size_ok)
+        .drop("__df")
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(payload)).alias("ds"))
+    )
+
+
 def jaccard_pairs_from_docs(
     d: DataFrame, max_shingle_df: int = 1000
 ) -> DataFrame:
@@ -170,9 +216,13 @@ def jaccard_pairs_from_docs(
     pairs) 30 s vs 55 s — the slice variant wins in BOTH the sparse
     and the pair-dense regime, where a filter-lambda variant
     (`filter(ds, x -> x.doc_id > a.doc_id)`) degraded 3× on dense
-    postings from per-element predicate evaluation. Per-group memory
-    is bounded by the cap (≤ max_shingle_df structs), so collect_list
-    cannot blow an executor at any corpus size.
+    postings from per-element predicate evaluation.
+
+    The df cap is enforced BEFORE collect_list by
+    ``bounded_sorted_postings``'s spillable window count (a post-agg
+    ``size()`` filter would materialize a viral shingle's full
+    postings array in one in-memory agg buffer first), so per-group
+    agg memory really is ≤ max_shingle_df structs at any corpus size.
     """
     sh = d.select("doc_id", word_shingles("text").alias("sh"))
     sized = sh.select(
@@ -180,14 +230,12 @@ def jaccard_pairs_from_docs(
         F.size("sh").alias("n"),
         F.explode(F.expr("transform(sh, g -> xxhash64(g))")).alias("g"),
     )
-    postings = (
-        sized.groupBy("g")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "n"))
-            ).alias("ds")
-        )
-        .where(F.size("ds").between(2, max_shingle_df))
+    postings = bounded_sorted_postings(
+        sized,
+        ["g"],
+        F.struct("doc_id", "n"),
+        min_df=2,
+        max_df=max_shingle_df,
     )
     pairs = (
         postings.select(F.posexplode("ds").alias("i", "a"), "ds")
@@ -245,11 +293,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sorted bucket postings + posexplode/slice instead of a band
     # self-join: the join would run the 64-hash signature pipeline once
-    # per side (same rework as jaccard/simhash pair generation)
-    postings = (
-        banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") >= 2)
+    # per side (same rework as jaccard/simhash pair generation). The
+    # MAX_BAND_BUCKET cap is applied pre-collect via the spillable
+    # window count — one hot bucket can never blow an agg buffer (see
+    # the cap's comment for why capped buckets lose no pairs).
+    postings = bounded_sorted_postings(
+        banded,
+        ["band", "bh"],
+        F.col("doc_id"),
+        min_df=2,
+        max_df=MAX_BAND_BUCKET,
     )
     cand = (
         postings.select(F.posexplode("ds").alias("i", "d1"), "ds")
@@ -389,15 +442,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join would execute the whole 64-aggregate simhash pipeline
     # once PER SIDE; grouping once halves the dominant cost, and the
     # positional slice avoids per-element lambda evaluation in dense
-    # buckets (same shape as jaccard_pairs_from_docs)
-    postings = (
-        banded.groupBy("band", "bh")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "simhash"))
-            ).alias("ds")
-        )
-        .where(F.size("ds") >= 2)
+    # buckets (same shape as jaccard_pairs_from_docs). Bucket size
+    # capped pre-collect (spillable window count, MAX_BAND_BUCKET).
+    postings = bounded_sorted_postings(
+        banded,
+        ["band", "bh"],
+        F.struct("doc_id", "simhash"),
+        min_df=2,
+        max_df=MAX_BAND_BUCKET,
     )
     pairs = (
         postings.select(F.posexplode("ds").alias("i", "a"), "ds")

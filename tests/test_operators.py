@@ -188,3 +188,29 @@ def test_jaccard_pairs_empty_and_singleton_inputs(spark):
     )
     rows = jaccard_pairs_from_docs(twins).collect()
     assert [(r.d1, r.d2, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_bounded_postings_prefilters_before_collect(spark):
+    """The group-size cap must act BEFORE collect_list (spillable
+    window count), and the window + aggregation must share ONE hash
+    exchange — the guard that a viral key can spill but never
+    materialize in an agg buffer."""
+    from hdsp_hive_release_src_spark.plans import explain_str
+    from hdsp_hive_release_src_spark.queries.llm import (
+        bounded_sorted_postings,
+    )
+
+    rows = (
+        [(0, m) for m in range(3)]       # kept: df=3
+        + [(1, m) for m in range(5)]     # dropped: df=5 > max_df=4
+        + [(9, 0)]                       # dropped: df=1 < min_df=2
+    )
+    df = spark.createDataFrame(rows, "k long, m long")
+    out = bounded_sorted_postings(
+        df, ["k"], F.col("m"), min_df=2, max_df=4
+    )
+    plan = explain_str(out, "simple")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    got = {r.k: list(r.ds) for r in out.collect()}
+    assert got == {0: [0, 1, 2]}
