@@ -1,0 +1,120 @@
+"""Distributed exact global rank / ntile without a single-partition
+window.
+
+``ntile(k) OVER (ORDER BY ...)`` with no PARTITION BY moves EVERY row
+into one window partition — the classic scale-killer (WindowExec's
+single-task sort of the whole table). But ntile only needs each row's
+exact global rank and the total row count, and the global rank
+decomposes: split the data into value ranges that respect the sort
+order, rank locally within each range (bounded partitions), then add
+per-range offsets computed from exact range counts.
+
+Shape (3 jobs, all fully parallel):
+  1. approx_percentile sketch → ``n_ranges`` boundary values collected
+     to the driver (ONE row — the kmeans-codebook pattern; legitimate
+     at any scale). Boundary precision only affects partition BALANCE,
+     never result values.
+  2. range_id = #boundaries strictly below (asc) / above (desc) the
+     row's value — a pure map-side expression over literal boundaries,
+     deterministic across jobs, monotone along the sort order (ties in
+     the value share a range_id, so every range is contiguous in the
+     global order). Exact per-range counts (≤ n_ranges rows) collected
+     → cumulative offsets.
+  3. row_number over Window.partitionBy(range_id) + literal offset map
+     = exact global rank; ntile bucket from (rank, n) driver-side
+     arithmetic replicating SQL ntile semantics (first n mod k buckets
+     one row larger).
+
+vs the naive global window: 3 parallel scans instead of 1 scan + a
+single-machine sort of the full table. At 100 TB the naive form does
+not complete; this form's critical path is one bounded-partition sort.
+
+Caveats: ``value_col`` must be non-null (null ordering vs the 0-count
+range assignment would disagree); a single value occupying >1/n_ranges
+of the table makes one range fat (the partitions are still spillable —
+correctness holds, balance degrades; raise n_ranges or pre-dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    descending: bool = False,
+    n_ranges: int = 32,
+    rank_col: str = "rank",
+) -> tuple[DataFrame, int]:
+    """Return (df + exact dense 1-based global rank column, total row
+    count) for the order (value_col [DESC], *tiebreak_cols ASC)."""
+    fracs = [i / n_ranges for i in range(1, n_ranges)]
+    brow = df.agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(x) for x in fracs]), 10000
+        ).alias("bs")
+    ).collect()
+    bounds = [float(b) for b in (brow[0].bs or [])]
+    arr = F.array(*[F.lit(b) for b in bounds]) if bounds else F.array()
+    v = F.col(value_col).cast("double")
+    if descending:
+        rid_expr: Column = F.size(F.filter(arr, lambda b: b > v))
+        order = [F.desc(value_col)] + [F.asc(c) for c in tiebreak_cols]
+    else:
+        rid_expr = F.size(F.filter(arr, lambda b: b < v))
+        order = [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols]
+    withrid = df.withColumn("__rid", rid_expr)
+    counts = {
+        r["__rid"]: r["cnt"]
+        for r in withrid.groupBy("__rid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for rid in sorted(counts):
+        offsets[rid] = acc
+        acc += counts[rid]
+    off_map = F.create_map(
+        *[F.lit(x) for rid in offsets for x in (rid, offsets[rid])]
+    )
+    w = Window.partitionBy("__rid").orderBy(*order)
+    ranked = withrid.withColumn(
+        rank_col,
+        (
+            F.row_number().over(w)
+            + F.element_at(off_map, F.col("__rid"))
+        ).cast("long"),
+    ).drop("__rid")
+    return ranked, total
+
+
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_buckets: int,
+    descending: bool = False,
+    n_ranges: int = 32,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """df + ``bucket_col`` holding exact SQL ``ntile(n_buckets) OVER
+    (ORDER BY value [DESC], tiebreaks)`` — without the global window."""
+    ranked, total = with_global_rank(
+        df, value_col, tiebreak_cols, descending, n_ranges, "__rank"
+    )
+    q, r = divmod(total, n_buckets)
+    rank = F.col("__rank")
+    if q == 0:
+        bucket = rank
+    else:
+        head = (q + 1) * r  # first r buckets carry q+1 rows each
+        bucket = F.when(
+            rank <= head, F.ceil(rank / (q + 1))
+        ).otherwise(r + F.ceil((rank - head) / q))
+    return ranked.withColumn(
+        bucket_col, bucket.cast("long")
+    ).drop("__rank")

@@ -145,14 +145,27 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing by account balance. NOTE: global ORDER BY
-    window — fine for dimension-sized input, never for fact tables."""
+    """Quartile bucketing by account balance — distributed exact ntile
+    (operators/ranking.py): approx-percentile range split + per-range
+    rank + exact offsets, replicating SQL ntile bit-for-bit with NO
+    single-partition window (customer grows with SF; a global ORDER BY
+    window is a one-task sort at 100 TB). The oracle stays the plain
+    ntile(4) window — semantics are identical by construction."""
+    from hdsp_hive_release_src_spark.operators.ranking import exact_ntile
+
     c = Catalog(spark, sf_dir).customer
-    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
-    ).orderBy("c_custkey")
+    return (
+        exact_ntile(
+            c.select("c_custkey", "c_acctbal"),
+            "c_acctbal",
+            ["c_custkey"],
+            n_buckets=4,
+            descending=True,
+            bucket_col="balance_quartile",
+        )
+        .select("c_custkey", "balance_quartile")
+        .orderBy("c_custkey")
+    )
 
 
 # --------------------------------------------- grouping sets / rollup / cube

@@ -110,15 +110,23 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries) — the stats histogram optimizers keep, vs
     histogram_bins' equi-WIDTH buckets. The orderkey tiebreak pins
     which duplicate price lands in which bucket so both engines cut
-    identically. Global ntile sorts the column — at 100 TB swap to
-    approx percentile boundaries + one bucketing pass (the
-    percentile_approx query is that path)."""
+    identically. Deciles come from the distributed exact-ntile
+    operator (approx-percentile range split + per-range rank + exact
+    offsets — operators/ranking.py), NOT a global ORDER BY window:
+    orders is a fact table, and a no-partition ntile is a one-task
+    sort of the whole table at 100 TB. The oracle keeps the plain
+    ntile(10) window — identical semantics by construction."""
+    from hdsp_hive_release_src_spark.operators.ranking import exact_ntile
+
     o = Catalog(spark, sf_dir).orders
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select(
-            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        exact_ntile(
+            o.select("o_totalprice", "o_orderkey"),
+            "o_totalprice",
+            ["o_orderkey"],
+            n_buckets=10,
         )
+        .select("o_totalprice", F.col("bucket").cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

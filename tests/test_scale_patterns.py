@@ -255,3 +255,62 @@ def test_cache_table_serves_from_memory(spark):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
     assert df.count() == 3
     spark.sql("UNCACHE TABLE IF EXISTS cache_orders_agg")
+
+
+def test_exact_ntile_has_no_global_window(spark):
+    """window_ntile and histogram_equi_depth must never plan a
+    no-partition WindowExec (single-task sort of the whole table);
+    every Window node must carry a partition spec."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    for name in ("window_ntile", "histogram_equi_depth"):
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = explain_str(df, "simple")
+        # a no-partition window plans Exchange SinglePartition under
+        # the WindowExec — that node must not exist anywhere
+        assert "SinglePartition" not in plan, (name, plan)
+        assert "Window" in plan, (name, plan)  # ranked path, partitioned
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    """exact_ntile must replicate SQL ntile bit-for-bit, including the
+    larger-buckets-first remainder rule and tie handling, on sizes that
+    exercise n % k != 0 and duplicate values."""
+    from pyspark.sql import Window as W
+
+    from hdsp_hive_release_src_spark.operators.ranking import exact_ntile
+
+    rows = [(i, float((i * 7) % 23)) for i in range(101)]  # dup values
+    df = spark.createDataFrame(rows, "id long, v double")
+    for k in (4, 10, 7):
+        got = {
+            r.id: r.bucket
+            for r in exact_ntile(
+                df, "v", ["id"], n_buckets=k, n_ranges=5
+            ).collect()
+        }
+        w = W.orderBy(F.asc("v"), F.asc("id"))
+        want = {
+            r.id: r.nt
+            for r in df.select(
+                "id", F.ntile(k).over(w).cast("long").alias("nt")
+            ).collect()
+        }
+        assert got == want, k
+    # descending order too
+    got = {
+        r.id: r.bucket
+        for r in exact_ntile(
+            df, "v", ["id"], n_buckets=4, descending=True, n_ranges=5
+        ).collect()
+    }
+    w = W.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r.id: r.nt
+        for r in df.select(
+            "id", F.ntile(4).over(w).cast("long").alias("nt")
+        ).collect()
+    }
+    assert got == want
