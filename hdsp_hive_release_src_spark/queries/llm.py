@@ -506,9 +506,10 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5^4) still collides with 1-(1-0.0625)^48 ≈ 0.95, i.e. nearly
     every pair becomes a candidate and the "pruned" join degenerates
     to the cross join plus banding overhead. Hyperplane LSH only pays
-    above τ≈0.7. The production scale paths are `ann_lsh_topk`
-    (top-k, not threshold) and raising τ; this query is the exact
-    twin that verifies them."""
+    above τ≈0.7. The production scale path at this τ is
+    `semantic_dedup` (llm7.py — SemDeDup cluster blocking, multi-probe
+    IVF cells); this query is the exhaustive test-scale twin that
+    verifies it and measures its recall gap."""
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", to_double("embedding").alias("v")
     )

@@ -119,6 +119,7 @@ def load_all() -> None:
         analytics2,
         stats2,
         llm6,
+        llm7,
         events2,
         functions_suite5,
         streaming,

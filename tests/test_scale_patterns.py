@@ -314,3 +314,25 @@ def test_exact_ntile_matches_sql_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_pair_join_is_blocked(spark):
+    """The within-cell pair join must be an equi join on the cell id —
+    never a cartesian/nested-loop over the corpus (the assignment's
+    broadcast of the tiny codebook is the only allowed BNLJ)."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["semantic_dedup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    pair_joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+            or ("BroadcastHashJoin" in ln and "cid" in ln))
+    ]
+    assert pair_joins, plan
