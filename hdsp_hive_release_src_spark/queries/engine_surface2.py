@@ -125,6 +125,86 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analyze_column_stats",
+    oracle="""
+    SELECT 'o_orderpriority' AS col_name,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(NULL AS DOUBLE) AS min_val,
+           CAST(NULL AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(NULL AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           round(min(o_totalprice), 2),
+           round(max(o_totalprice), 2)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the
+    column-level NDV/null-count/min/max the cost-based optimizer's
+    join reordering actually keys on (table-level rowCount alone —
+    analyze_table_stats — can't order a join tree). Stats are read
+    back through DESCRIBE EXTENDED <table> <col> and compared against
+    exact aggregation: NDV uses HLL++, which is exact in its sparse
+    regime (ndv=5 here), and min/max/null-count are exact at any
+    scale, so the oracle parity is deterministic. At 100 TB: ANALYZE
+    is one full scan with mergeable sketches per column — run it
+    incrementally per partition and only for the columns the
+    workload's join/filter keys need."""
+    import shutil
+
+    o = Catalog(spark, sf_dir).orders
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS colstats_orders")
+    shutil.rmtree(f"{warehouse}/colstats_orders", ignore_errors=True)
+    o.select("o_orderpriority", "o_totalprice").write.saveAsTable(
+        "colstats_orders"
+    )
+    spark.sql(
+        "ANALYZE TABLE colstats_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_orderpriority, o_totalprice"
+    )
+
+    def col_stats(col: str) -> dict[str, str]:
+        rows = spark.sql(
+            f"DESCRIBE EXTENDED colstats_orders {col}"
+        ).collect()
+        return {r.info_name: r.info_value for r in rows}
+
+    prio = col_stats("o_orderpriority")
+    price = col_stats("o_totalprice")
+    out = [
+        (
+            "o_orderpriority",
+            int(prio["distinct_count"]),
+            int(prio["num_nulls"]),
+            None,
+            None,
+        ),
+        (
+            "o_totalprice",
+            None,
+            int(price["num_nulls"]),
+            round(float(price["min"]), 2),
+            round(float(price["max"]), 2),
+        ),
+    ]
+    return spark.createDataFrame(
+        out,
+        "col_name string, ndv long, n_nulls long, "
+        "min_val double, max_val double",
+    ).orderBy("col_name")
+
+
+@query(
     "cache_table_reuse",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

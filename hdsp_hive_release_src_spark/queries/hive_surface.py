@@ -40,6 +40,56 @@ def table_sample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_sample_percent_rows",
+    oracle="""
+    SELECT CAST(200 AS BIGINT) AS n_rows_sample,
+           TRUE AS pct_within_bounds,
+           CAST(count(*) AS BIGINT) AS mod_sample_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS mod_sample_keysum
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def table_sample_percent_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLESAMPLE forms analysts actually type: ``(n ROWS)`` and
+    ``(p PERCENT)`` — alongside the bucket form (table_sample_bucket).
+
+    ROWS is an exact global limit (count asserted exactly). PERCENT is
+    Bernoulli row sampling: REPEATABLE(seed) pins the sample within a
+    run, but the per-partition seed offsets make the exact membership
+    layout-dependent, so the cross-engine check is the statistical
+    contract — the sampled fraction must sit within ±0.08 of 25%
+    (≈7σ at smoke scale; a correctness bound, not a flaky one). The
+    deterministic value-level twin both engines CAN hash-compare is
+    the mod-sample (the established rand()-free pattern here), emitted
+    as exact row count + key checksum. At 100 TB PERCENT sampling is
+    the only one of the three that stays a map-only scan with no
+    global coordination; n ROWS funnels through a single-stage limit
+    and is the form to avoid on big tables."""
+    o = Catalog(spark, sf_dir).orders
+    o.createOrReplaceTempView("ts_orders_src")
+    rows_n = spark.sql(
+        "SELECT * FROM ts_orders_src TABLESAMPLE (200 ROWS)"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows_sample"))
+    pct_n = spark.sql(
+        "SELECT * FROM ts_orders_src TABLESAMPLE (25 PERCENT) REPEATABLE (7)"
+    ).agg(F.count(F.lit(1)).alias("pct_n"))
+    total_n = o.agg(F.count(F.lit(1)).alias("total_n"))
+    pct_ok = (
+        pct_n.join(F.broadcast(total_n))
+        .select(
+            (
+                F.abs(F.col("pct_n") / F.col("total_n") - 0.25) < 0.08
+            ).alias("pct_within_bounds")
+        )
+    )
+    mod = o.where(F.pmod("o_orderkey", F.lit(20)) == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("mod_sample_rows"),
+        F.sum("o_orderkey").cast("long").alias("mod_sample_keysum"),
+    )
+    return rows_n.join(F.broadcast(pct_ok)).join(F.broadcast(mod))
+
+
+@query(
     "map_funcs",
     oracle="""
     SELECT p_partkey,

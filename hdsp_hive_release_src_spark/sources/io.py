@@ -61,9 +61,16 @@ def write_partitioned(
 
 
 def try_ext_connector(spark: SparkSession, fmt: str):
-    """Delta/Iceberg/Hudi/JDBC need jars not present in this image;
-    surface a clear capability error instead of a classpath stack."""
-    known = {"delta", "iceberg", "hudi", "jdbc"}
+    """Delta/Iceberg/Hudi/JDBC/Avro need jars not present in this
+    image; surface a clear capability error instead of a classpath
+    stack. Avro specifically: the core avro-*.jar libraries ship with
+    pyspark but the spark-avro DATASOURCE module does not (it has been
+    an external module since Spark 2.4) — probed at round 5;
+    ``format("avro")`` raises 'Failed to find data source'. With the
+    org.apache.spark:spark-avro package on the classpath the standard
+    ``.write.format("avro")`` / ``.read.format("avro")`` round-trip
+    works unchanged."""
+    known = {"delta", "iceberg", "hudi", "jdbc", "avro"}
     if fmt in known:
         raise NotImplementedError(
             f"connector {fmt!r} requires external jars not bundled here; "

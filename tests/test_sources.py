@@ -37,8 +37,22 @@ def test_ext_connector_stub():
 
     with pytest.raises(NotImplementedError, match="delta"):
         try_ext_connector(None, "delta")
+    with pytest.raises(NotImplementedError, match="avro"):
+        try_ext_connector(None, "avro")
     with pytest.raises(ValueError):
         try_ext_connector(None, "avro-ish-nonsense")
+
+
+def test_avro_datasource_really_absent(spark):
+    """The avro capability error must reflect reality: if this test
+    fails, the spark-avro jar has appeared in the image and
+    avro_roundtrip should be promoted to a real query."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="avro"):
+        spark.range(1).write.mode("overwrite").format("avro").save(
+            "/root/repo/_scratch/avro_probe"
+        )
 
 
 def test_stream_windowed_counts_equals_batch(spark, sf_dir):
