@@ -41,56 +41,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # red/erred driver rows from round 3, fixed this round — clear
-    # these first
-    "fuzzy_match", "decimal_agg", "sequence_packing",
-    "stream_late_data",
-    # changed this round (describe type pin, file-listing refresh)
-    "describe_table", "csv_permissive_parse",
-    # never driver-checked (added late in round 3)
-    "insert_overwrite_directory", "full_outer_join",
-    "msck_repair_discovery", "xpath_extract", "window_ignore_nulls",
-    "format_number_grouped",
-    # brand new this round (43; the tail past the driver's sample
-    # window carries local gate-replica green rows until round 5)
-    "doc_chunk_overlap", "embedding_quantize", "balanced_class_sample",
-    "cogroup_pandas_enrich", "stream_static_join",
-    "stack_unpivot_funcs", "str_to_map_parse",
-    "variant_semistructured", "hll_sketch_union",
-    "tokenizer_vocab_build", "mapinarrow_bytes",
-    "recursive_cte_hierarchy", "lateral_topk_join",
-    "bucketed_colocated_join", "scd2_dimension", "grouping_id_agg",
-    "snapshot_diff", "cdc_apply_changes", "dq_audit",
-    "time_weighted_avg", "incremental_high_watermark",
-    "frame_sample_plumbing", "mixture_weights", "binaryfile_source",
-    "transform_using_script", "observed_load_metrics",
-    "analyze_table_stats", "cache_table_reuse",
-    "rounding_modes", "regexp_family", "collation_compare",
-    "conv_bases", "stream_dedup_within_watermark",
-    "schema_evolution_union", "parquet_schema_merge",
-    "nested_struct_json", "null_ordering", "limit_offset_pagination",
-    # streaming family: events stream reader rewritten this round
-    # (schema probe replaces the hardcoded epoch-nanos layout)
-    "stream_windowed_counts", "stream_sessionization",
-    "stream_stateful_user_agg", "stream_stream_join",
-    "stream_parquet_sink", "stream_dedup",
-    # events/timeseries + date-heavy batch queries: testdata timestamps
-    # changed layout (epoch-nanos long → naive micros), so their read
-    # type flipped TIMESTAMP_NTZ → TIMESTAMP this round — re-confirm
-    "time_bucket_agg", "sessionization", "funnel_counts",
-    "retention_cohorts", "asof_join_events_orders",
-    "ohlc_daily", "gapfill_daily", "window_range_trailing",
-    "locf_interpolation", "cumulative_users",
-    "date_funcs", "date_builtins_extended", "window_sliding_hop",
-    "streak_islands", "band_join_order_pairs",
-    # date-filtered TPC-H (same type-flip exposure; r1/r2-green last)
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q12_priority_shipping",
-    "q14_promo_effect", "q15_top_supplier", "q20_promo_shippers",
-    "q21_sole_late_supplier", "q18_large_volume_customer",
-    "q22_global_sales", "merge_upsert",
+    # the two red/stale driver rows, both fixed: scd2's far-future
+    # sentinel replaced with a pandas-safe one (r4 err), collect_agg
+    # fixed in r2 but never re-sampled since its r1 err
+    "scd2_dimension", "collect_agg",
+    # brand new this round
+    "semantic_dedup", "analyze_column_stats",
+    "table_sample_percent_rows",
+    # implementations rewritten this round (distributed exact ntile)
+    "window_ntile", "histogram_equi_depth",
+    # oracles adjusted this round (LEAST-based file counts)
+    "compact_small_files", "metadata_columns",
+    # the remaining never-driver-checked round-4 additions (all pass
+    # the local gate replica; one window converts them to hard green)
+    "array_custom_sort", "array_funcs_wave2", "asof_join_forward",
+    "bigram_lm_score", "bitmap_distinct_agg", "blocked_fuzzy_join",
+    "chunk_dedup_exact", "column_profile", "date_parse_formats",
+    "date_trunc_variants", "delete_update_emulation",
+    "distribution_entropy", "event_count_anomaly",
+    "explode_map_entries", "group_size_skew_profile",
+    "interval_arithmetic", "join_hint_strategies",
+    "json_array_explode", "kl_divergence_drift", "listagg_distinct",
+    "median_boolean_aggs", "mode_deterministic",
+    "nested_types_roundtrip", "pagerank_trade_graph",
+    "pivot_dynamic", "quantity_expansion", "range_frame_numeric",
+    "ratio_to_report", "regr_aggregates", "sequence_gap_detection",
+    "session_first_touch_attribution", "skewness_kurtosis_moments",
+    "time_to_convert", "try_cast_family", "weighted_median",
+    "windowed_distinct_count", "zscore_outliers",
+    # pair generation reworked this round (pre-collect bounded
+    # postings) — re-confirm on the driver harness
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    # events stream reader's conf handling changed this round
+    "stream_windowed_counts",
+    # ---- 50-query window boundary (driver samples a prefix) ----
+    "quality_filter_pipeline",
+    "stream_sessionization", "stream_stateful_user_agg",
+    "stream_stream_join", "stream_parquet_sink", "stream_dedup",
+    "stream_late_data", "stream_dedup_within_watermark",
+    "stream_static_join",
 )
 
 
