@@ -572,3 +572,40 @@ def str_to_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "inline_explode",
+    oracle="""
+    SELECT o_orderkey, 'full_price' AS measure,
+           round(o_totalprice, 2) AS val
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, 'with_freight', round(o_totalprice + 100, 2)
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey, measure
+    """,
+)
+def inline_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW inline(array<struct>) — the Hive UDTF that explodes
+    an array of structs into columns in one step (explode would yield
+    a struct column needing a second projection). Each order emits its
+    measure rows from an inline-constructed struct array; map-only, so
+    the UNION-ALL-free single scan is the point: N measures cost one
+    pass, not N (the same reason stack() exists — inline is its
+    struct-typed sibling)."""
+    Catalog(spark, sf_dir).orders.where(
+        F.col("o_orderkey") < 2000
+    ).createOrReplaceTempView("inline_orders_src")
+    return spark.sql(
+        """
+        SELECT o_orderkey, m.measure, round(m.val, 2) AS val
+        FROM inline_orders_src
+        LATERAL VIEW inline(array(
+            named_struct('measure', 'full_price',
+                         'val', o_totalprice),
+            named_struct('measure', 'with_freight',
+                         'val', o_totalprice + 100))) m AS measure, val
+        ORDER BY o_orderkey, measure
+        """
+    )

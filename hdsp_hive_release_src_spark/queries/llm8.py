@@ -1,0 +1,316 @@
+"""SURVEY.md §2.4 round-5 additions, batch 2 — corpus-quality and
+incremental-curation operators a production training-data pipeline
+runs between ingestion and shard packing:
+
+- ``repetition_score``: Gopher-style intra-document repetition (the
+  single strongest generated-spam signal in Rae et al. 2021's rules).
+- ``gopher_quality_rules``: the composite document-shape rule gate.
+- ``incremental_dedup``: new-batch-vs-corpus dedup — the O(batch)
+  nightly operation that makes full-corpus re-dedup unnecessary.
+- ``dsir_importance_weights``: hashed-n-gram importance weights
+  (DSIR, Xie et al. 2023, arXiv:2302.03169) scoring each doc by how
+  target-like its token distribution is.
+
+All JVM-side expressions (no Python UDFs); every operator carries a
+full DuckDB oracle replaying the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+B = F.broadcast
+
+# Non-empty whitespace tokens, shared shape with the oracle's
+# string_split + filter.
+_TOKS = "filter(split(text, ' '), t -> t != '')"
+
+
+@query(
+    "repetition_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             END AS gs
+      FROM tok)
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           round(CASE WHEN len(gs) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(gs)) * 1.0 / len(gs)
+                 END, 6) AS rep_ratio
+    FROM grams
+    ORDER BY doc_id
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of word-trigrams that
+    are duplicates of an earlier trigram in the SAME document
+    (1 − distinct/total). Boilerplate spam and generation loops score
+    high; clean prose scores near 0. Map-only — one projection per
+    document, no shuffle except the presentation sort — so it runs at
+    ingest speed on any corpus size (the Gopher repetition rule class,
+    Rae et al. 2021 §A1.1)."""
+    d = Catalog(spark, sf_dir).documents
+    grams = F.expr(
+        f"""CASE WHEN size({_TOKS}) < 3 THEN array()
+        ELSE transform(sequence(0, size({_TOKS}) - 3),
+             i -> concat_ws(' ', element_at({_TOKS}, i + 1),
+                  element_at({_TOKS}, i + 2), element_at({_TOKS}, i + 3)))
+        END"""
+    )
+    g = d.select("doc_id", grams.alias("gs"))
+    return g.select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_grams"),
+        F.round(
+            F.when(F.size("gs") == 0, F.lit(0.0)).otherwise(
+                1.0
+                - F.size(F.array_distinct("gs"))
+                / F.size("gs").cast("double")
+            ),
+            6,
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "gopher_quality_rules",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS n_words,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                          t -> t <> '')) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(
+                         list_filter(string_split(text, ' '),
+                                     t -> t <> ''),
+                         t -> len(t))) * 1.0
+                       / len(list_filter(string_split(text, ' '),
+                                         t -> t <> ''))
+             END AS mean_word_len,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE (len(text) - len(regexp_replace(text,
+                        '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text)
+             END AS symbol_ratio
+      FROM documents),
+    flags AS (
+      SELECT doc_id,
+             n_words BETWEEN 10 AND 10000 AS wc_ok,
+             mean_word_len BETWEEN 2.0 AND 12.0 AS mwl_ok,
+             symbol_ratio <= 0.30 AS sym_ok
+      FROM m)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_word_count,
+           CAST(sum(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_mean_word_len,
+           CAST(sum(CASE WHEN sym_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_symbol_ratio,
+           CAST(sum(CASE WHEN wc_ok AND mwl_ok AND sym_ok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM flags
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-shape rule gate (the Gopher rules family):
+    word-count bounds, mean-word-length bounds, and symbol-character
+    ratio, reported as per-rule pass counts plus the conjunction. All
+    three metrics are single-pass map expressions over each document —
+    the gate costs one corpus scan regardless of rule count, which is
+    why rule-based filtering is always the FIRST stage of a curation
+    pipeline (it shrinks the corpus before anything quadratic or
+    model-based runs)."""
+    d = Catalog(spark, sf_dir).documents
+    n_words = F.size(F.expr(_TOKS))
+    sum_len = F.expr(
+        f"aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t))"
+    )
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        sum_len / n_words.cast("double")
+    )
+    stripped = F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+    sym_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        (F.length("text") - F.length(stripped))
+        / F.length("text").cast("double")
+    )
+    flags = d.select(
+        n_words.between(10, 10000).alias("wc_ok"),
+        mean_wl.between(2.0, 12.0).alias("mwl_ok"),
+        (sym_ratio <= 0.30).alias("sym_ok"),
+    )
+    as_int = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_int("wc_ok").alias("pass_word_count"),
+        as_int("mwl_ok").alias("pass_mean_word_len"),
+        as_int("sym_ok").alias("pass_symbol_ratio"),
+        F.sum(
+            (F.col("wc_ok") & F.col("mwl_ok") & F.col("sym_ok"))
+            .cast("int")
+        )
+        .cast("long")
+        .alias("pass_all"),
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 300),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 300),
+    ranked AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM batch)
+    SELECT r.doc_id,
+           CASE WHEN e.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN r.rn > 1 THEN 'dup_in_batch'
+                ELSE 'keep' END AS decision
+    FROM ranked r LEFT JOIN existing e ON r.h = e.h
+    ORDER BY r.doc_id
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) exact dedup — the operation a
+    running pipeline executes nightly so the full corpus never needs
+    re-deduplication: each batch doc is dropped if its content hash
+    already exists in the corpus ('dup_of_corpus'), deduped
+    first-wins within the batch ('dup_in_batch'), else kept. Scale
+    shape: the corpus side reduces to DISTINCT digests before the
+    join (shuffle semi-shaped left join keyed on the 16-byte hash —
+    O(batch + corpus_digests), never rescanning corpus text), and the
+    within-batch window partitions by digest, so cost is O(batch) per
+    increment. The corpus/batch split here (doc_id 300) stands in for
+    yesterday's-table vs today's-drop."""
+    d = Catalog(spark, sf_dir).documents
+    existing = (
+        d.where(F.col("doc_id") < 300)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = d.where(F.col("doc_id") >= 300).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = batch.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(existing, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_oracle() -> str:
+    """DSIR hashed-unigram importance weights, replayed exactly: token
+    → md5-derived bucket in [0, 64), target = English docs, source =
+    whole corpus, add-one smoothed log-ratio summed per doc."""
+    bucket = (
+        "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1"
+        " AS BIGINT) * 4"
+        " + CAST((strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)"
+        " // 4 AS BIGINT)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS t
+      FROM documents),
+    bk AS (SELECT doc_id, lang, {bucket} AS b FROM tok),
+    tgt AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en'
+            GROUP BY b),
+    src AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+    tot AS (SELECT (SELECT sum(c) FROM tgt) AS tn,
+                   (SELECT sum(c) FROM src) AS sn),
+    ratio AS (
+      SELECT s.b,
+             ln(((coalesce(t.c, 0) + 1.0) / (tot.tn + 64))
+                / ((s.c + 1.0) / (tot.sn + 64))) AS lr
+      FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot)
+    SELECT bk.doc_id, round(sum(r.lr), 4) AS dsir_logweight
+    FROM bk JOIN ratio r ON bk.b = r.b
+    GROUP BY bk.doc_id ORDER BY bk.doc_id
+    """
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al.
+    2023): per-document log importance weight under hashed-unigram
+    bag-of-words models of target (English docs) vs source (whole
+    corpus) — the weights a pipeline resamples by to tilt a raw crawl
+    toward a target domain. Tokens hash into 64 md5-derived buckets
+    (exactly reproducible in the oracle); both distributions are
+    add-one smoothed. Scale shape: the 64-row ratio table is computed
+    by one token-bucket aggregation each over target and source and
+    then BROADCAST into the per-doc scoring join, so the corpus is
+    scanned twice (model build, scoring) and never shuffled on doc
+    tokens. Bucket hashing caps model memory at O(64) regardless of
+    vocabulary size — the reason DSIR scales where an exact-vocab LM
+    does not."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_TOKS)).alias("t"),
+    )
+    bucket = (
+        (
+            F.expr("instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1")
+        ).cast("long")
+        * 4
+        + (
+            F.expr(
+                "(instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1)"
+                " div 4"
+            )
+        ).cast("long")
+    )
+    bk = tok.select("doc_id", "lang", bucket.alias("b"))
+    tgt = (
+        bk.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    src = bk.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    tgt_n = tgt.agg(F.sum("tc").alias("tn"))
+    src_n = src.agg(F.sum("sc").alias("sn"))
+    ratio = (
+        src.join(tgt, "b", "left")
+        .join(B(tgt_n))
+        .join(B(src_n))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                 / (F.col("tn") + 64))
+                / ((F.col("sc") + 1.0) / (F.col("sn") + 64))
+            ).alias("lr"),
+        )
+    )
+    return (
+        bk.join(B(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), 4).alias("dsir_logweight"))
+        .orderBy("doc_id")
+    )

@@ -174,6 +174,116 @@ def distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_auto_rewrite",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP)
+               AS quarter,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                 * CAST(1 - l_discount AS DECIMAL(18, 4))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                 * CAST(1 - l_discount AS DECIMAL(18, 4))) AS DOUBLE)
+                 / count(*), 4) AS avg_item_revenue,
+           TRUE AS answered_from_mv
+    FROM lineitem
+    GROUP BY l_returnflag, quarter ORDER BY l_returnflag, quarter
+    """,
+)
+def mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOMATIC materialized-view rewrite — the Hive
+    hive.materializedview.rewriting feature Spark lacks, supplied by
+    operators/mv_rewrite.py: the query asks the resolver for a
+    QUARTERLY aggregation over the BASE lineitem table without naming
+    any MV; the resolver's rollup-containment check (requested keys ∈
+    MV grouping cols or functional rollups of one; measures derivable
+    from stored SUM/COUNT partials — avg included, rebuilt as
+    SUM(sum)/SUM(count)) routes it to the registered MONTHLY MV.
+    Decimal partials make the month→quarter re-aggregation exactly
+    equal to the direct quarterly computation, which is what the
+    base-table oracle checks. Tests additionally pin that the
+    resolver picked the MV for this request and falls back to the
+    base scan for a non-covered one (answered_from_mv carries the
+    resolver's actual decision)."""
+    from hdsp_hive_release_src_spark.operators.mv_rewrite import (
+        GroupKey,
+        Measure,
+        MvDef,
+        MvResolver,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    mv = "mv_auto_monthly"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {mv}")
+    shutil.rmtree(f"{warehouse}/{mv}", ignore_errors=True)
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    (
+        cat.lineitem.groupBy(
+            "l_returnflag",
+            F.date_trunc("month", "l_shipdate").alias("month"),
+        )
+        .agg(
+            F.sum(rev).alias("rev_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(mv)
+    )
+    resolver = MvResolver()
+    resolver.register(
+        MvDef(
+            table=mv,
+            base="lineitem",
+            group_cols=("l_returnflag", "month"),
+            sums={"revenue": "rev_sum"},
+            count_col="n_rows",
+        )
+    )
+    keys = [
+        GroupKey("l_returnflag", "l_returnflag"),
+        GroupKey(
+            "quarter",
+            "month",
+            lambda c: F.date_trunc("quarter", c),
+            base_src="l_shipdate",
+            base_fn=lambda c: F.date_trunc("quarter", c),
+        ),
+    ]
+    measures = [
+        Measure("rev_raw", "sum", "revenue"),
+        Measure("n_items", "count"),
+        Measure("avg_raw", "avg", "revenue"),
+    ]
+    out, used = resolver.answer(
+        spark,
+        cat.lineitem,
+        "lineitem",
+        keys,
+        measures,
+        {"revenue": rev},
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            "quarter",
+            F.round(F.col("rev_raw").cast("double"), 2).alias("revenue"),
+            "n_items",
+            F.round(F.col("avg_raw").cast("double"), 4).alias(
+                "avg_item_revenue"
+            ),
+            F.lit(used is not None).alias("answered_from_mv"),
+        )
+        .orderBy("l_returnflag", "quarter")
+    )
+
+
+@query(
     "materialized_view_rewrite",
     oracle="""
     SELECT l_returnflag,

@@ -186,3 +186,22 @@ def stream_dedup_within_watermark(
     dedup_within_watermark): a doubled source collapsed back to
     exactly the batch per-type totals."""
     return jobs.dedup_within_watermark(spark, sf_dir)
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           CAST(max(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch MERGE/upsert into a parquet state table across 3
+    replayed micro-batches (see streaming/jobs.py::foreachbatch_upsert)
+    — the final per-user state must equal the batch aggregation no
+    matter how the stream was batched."""
+    return jobs.foreachbatch_upsert(spark, sf_dir)

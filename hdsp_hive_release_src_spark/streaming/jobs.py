@@ -387,3 +387,116 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_to_memory(agg, "complete", "stream_dedup_wm")
     return spark.table(name).orderBy("event_type")
+
+
+def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE/upsert sink: per-user running totals merged
+    into a parquet state table batch by batch — the pattern for
+    streaming into stores with no native streaming sink (JDBC, key
+    stores, warehouse MERGE). The source replays in 3 time-ordered
+    files (maxFilesPerTrigger=1), so most users are UPDATED across
+    batches, not just inserted; the merge aggregates partials
+    (n += n_inc, total += total_inc, last_ts = greatest) so the final
+    state equals the batch aggregation regardless of how the stream
+    was micro-batched — which is exactly what the oracle checks.
+    State swaps are write-new-then-rename so a crashed batch can never
+    leave a half-written table behind (at scale: MERGE into a
+    transactional table keyed on batchId for exactly-once)."""
+    import os
+    import shutil
+    import time as _time
+
+    from hdsp_hive_release_src_spark.catalog import Catalog
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = scratch_path("upsert_stream_src", sf_dir)
+    state = scratch_path("upsert_state", sf_dir)
+    for p in (src, state):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+    now = _time.time()
+    cuts = ("2024-01-08", "2024-01-18")
+    parts = (
+        ("b1", ev.where(F.col("ts") < F.lit(cuts[0])), 90),
+        (
+            "b2",
+            ev.where(
+                (F.col("ts") >= F.lit(cuts[0]))
+                & (F.col("ts") < F.lit(cuts[1]))
+            ),
+            60,
+        ),
+        ("b3", ev.where(F.col("ts") >= F.lit(cuts[1])), 30),
+    )
+    for tag, frame, age in parts:
+        tmp = f"{src}/_{tag}_tmp"
+        frame.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{src}/{tag}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - age, now - age))
+
+    def upsert(bdf: DataFrame, batch_id: int) -> None:
+        inc = bdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        if os.path.exists(state):
+            cur = spark.read.parquet(state)
+            merged = (
+                cur.select(
+                    "user_id",
+                    F.col("n_events").alias("n0"),
+                    F.col("total_value").alias("t0"),
+                    F.col("last_ts").alias("l0"),
+                )
+                .join(inc, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n0", F.lit(0))
+                        + F.coalesce("n_events", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce("t0", F.lit(0.0))
+                        + F.coalesce("total_value", F.lit(0.0))
+                    ).alias("total_value"),
+                    F.greatest(
+                        F.coalesce("l0", "last_ts"),
+                        F.coalesce("last_ts", "l0"),
+                    ).alias("last_ts"),
+                )
+            )
+        else:
+            merged = inc
+        tmp_out = f"{state}__new"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        old = f"{state}__old"
+        if os.path.exists(state):
+            os.rename(state, old)
+        os.rename(tmp_out, state)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.catalog.refreshByPath(state)
+    back = spark.read.parquet(state)
+    return back.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts",
+    ).orderBy("user_id")

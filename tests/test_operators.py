@@ -214,3 +214,50 @@ def test_bounded_postings_prefilters_before_collect(spark):
     assert "Join" not in plan, plan
     got = {r.k: list(r.ds) for r in out.collect()}
     assert got == {0: [0, 1, 2]}
+
+
+def test_mv_resolver_picks_mv_and_falls_back(spark):
+    """The rewrite must be automatic: a covered request routes to the
+    registered MV (and rolls up correctly, avg included); a request
+    grouping on a column outside the MV's grouping set falls back to
+    the base table and still answers correctly."""
+    from hdsp_hive_release_src_spark.operators.mv_rewrite import (
+        GroupKey,
+        Measure,
+        MvDef,
+        MvResolver,
+    )
+
+    base = spark.createDataFrame(
+        [(g1, g2, v) for g1 in "ab" for g2 in range(3)
+         for v in (1.0, 2.0, 4.0)],
+        "g1 string, g2 long, v double",
+    )
+    spark.sql("DROP TABLE IF EXISTS mv_test_partials")
+    base.groupBy("g1", "g2").agg(
+        F.sum("v").alias("v_sum"), F.count(F.lit(1)).alias("n_rows")
+    ).write.mode("overwrite").saveAsTable("mv_test_partials")
+    r = MvResolver()
+    r.register(MvDef("mv_test_partials", "base", ("g1", "g2"),
+                     {"v": "v_sum"}))
+    keys = [GroupKey("g1", "g1")]
+    ms = [Measure("total", "sum", "v"), Measure("n", "count"),
+          Measure("mean", "avg", "v")]
+    out, used = r.answer(spark, base, "base", keys, ms,
+                         {"v": F.col("v")})
+    assert used == "mv_test_partials"
+    got = {x.g1: (x.total, x.n, round(x.mean, 6))
+           for x in out.collect()}
+    assert got == {"a": (21.0, 9, round(21 / 9, 6)),
+                   "b": (21.0, 9, round(21 / 9, 6))}
+    # non-covered: group key outside MV grouping set -> base fallback
+    out2, used2 = r.answer(
+        spark, base, "base",
+        [GroupKey("v_key", "v")], [Measure("n", "count")],
+        {"v": F.col("v")},
+    )
+    assert used2 is None
+    assert {x.v_key: x.n for x in out2.collect()} == {
+        1.0: 6, 2.0: 6, 4.0: 6
+    }
+    spark.sql("DROP TABLE IF EXISTS mv_test_partials")

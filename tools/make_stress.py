@@ -1,0 +1,83 @@
+"""Materialize a 10× replica of an sf directory for scale-stress runs.
+
+Each replica is an INDEPENDENT shard: every id column is offset by
+replica*OFF so all intra-replica join relationships (orders→customer,
+lineitem→orders/part/supplier, events→customer, …) stay consistent,
+giving a true 10×-rows dataset rather than a broken-FK blowup. The
+documents table additionally gets replica-unique token suffixes so the
+10× corpus carries 10× DISTINCT content — naive text clones would put
+every doc in a 10-way near-dup cluster and benchmark the
+clone-saturated worst case instead of 10× scale (that worst case has
+its own measurement in SURVEY §4). Embeddings replicate as-is: ANN
+cost depends on corpus size, not vector uniqueness.
+
+Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [n_replicas]
+Defaults: /root/testdata/sf0.1 → <repo>/_scratch/stress10x, 10.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OFF = 100_000_000
+
+ID_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# l_linenumber is a within-order ordinal, not a FK — leave it alone
+ID_COLS["lineitem"] = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def build(src: str, dst: str, n: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.catalog import TABLES
+    from hdsp_hive_release_src_spark.session import get_spark
+
+    spark = get_spark(app_name="make-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        base = spark.read.parquet(f"{src.rstrip('/')}/{t}.parquet")
+        replicas = []
+        for r in range(n):
+            rep = base
+            for c in ID_COLS.get(t, []):
+                rep = rep.withColumn(c, F.col(c) + F.lit(r * OFF))
+            if t == "documents" and r > 0:
+                # replica-unique tokens -> 10x distinct content
+                rep = rep.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"$1x{r}"),
+                )
+            replicas.append(rep)
+        out = replicas[0]
+        for rep in replicas[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(
+            f"{dst.rstrip('/')}/{t}.parquet"
+        )
+        print(f"wrote {t}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    repo = Path(__file__).resolve().parent.parent
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else str(repo / "_scratch" / "stress10x")
+    )
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    build(src, dst, n)
