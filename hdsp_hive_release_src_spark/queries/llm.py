@@ -184,6 +184,46 @@ def bounded_sorted_postings(
     )
 
 
+def shingle_pair_counts(
+    d: DataFrame, max_shingle_df: int = 1000
+) -> DataFrame:
+    """The shared pair-generation core: inverted shingle index →
+    ordered candidate pairs with (d1, d2, n1, n2, inter). Jaccard,
+    containment, and overlap coefficients are all ratios over these
+    four numbers — one pair-generation implementation serves every
+    set-similarity measure (see jaccard_pairs_from_docs for the full
+    algorithm/scale notes)."""
+    sh = d.select("doc_id", word_shingles("text").alias("sh"))
+    sized = sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.explode(F.expr("transform(sh, g -> xxhash64(g))")).alias("g"),
+    )
+    postings = bounded_sorted_postings(
+        sized,
+        ["g"],
+        F.struct("doc_id", "n"),
+        min_df=2,
+        max_df=max_shingle_df,
+    )
+    return (
+        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            "a",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("b"),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def jaccard_pairs_from_docs(
     d: DataFrame, max_shingle_df: int = 1000
 ) -> DataFrame:
@@ -224,35 +264,7 @@ def jaccard_pairs_from_docs(
     postings array in one in-memory agg buffer first), so per-group
     agg memory really is ≤ max_shingle_df structs at any corpus size.
     """
-    sh = d.select("doc_id", word_shingles("text").alias("sh"))
-    sized = sh.select(
-        "doc_id",
-        F.size("sh").alias("n"),
-        F.explode(F.expr("transform(sh, g -> xxhash64(g))")).alias("g"),
-    )
-    postings = bounded_sorted_postings(
-        sized,
-        ["g"],
-        F.struct("doc_id", "n"),
-        min_df=2,
-        max_df=max_shingle_df,
-    )
-    pairs = (
-        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
-        .select(
-            "a",
-            F.explode(
-                F.slice("ds", F.col("i") + 2, F.size("ds"))
-            ).alias("b"),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    pairs = shingle_pair_counts(d, max_shingle_df)
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
         pairs.where(jac >= 0.5)

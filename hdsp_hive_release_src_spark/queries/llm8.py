@@ -314,3 +314,54 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("lr"), 4).alias("dsir_logweight"))
         .orderBy("doc_id")
     )
+
+
+def _containment_oracle() -> str:
+    from hdsp_hive_release_src_spark.queries.llm import (
+        _DUCK_SH_CAPPED,
+        _DUCK_SHINGLES,
+    )
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2,
+           round(inter * 1.0 / least(s1.n, s2.n), 6) AS containment
+    FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+    WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.8
+    ORDER BY d1, d2
+    """
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-similarity pairs (|A∩B| / min(|A|,|B|) ≥ 0.8) — the
+    SUBSET detector Jaccard misses: a short doc quoted whole inside a
+    long one has tiny Jaccard (union is dominated by the long doc) but
+    containment ≈ 1. This is the measure for quote/excerpt dedup and
+    prompt-template collapse. Same single-scan inverted-index pair
+    core as dedup_ngram_jaccard (shingle_pair_counts — the coefficient
+    is just a different ratio over (n1, n2, inter)), so the scale
+    properties are identical: bounded postings, join-free pair
+    generation, one corpus scan."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        MAX_SHINGLE_DF,
+        _parallel_docs,
+        shingle_pair_counts,
+    )
+
+    pairs = shingle_pair_counts(
+        _parallel_docs(spark, sf_dir), MAX_SHINGLE_DF
+    )
+    cont = F.col("inter") / F.least("n1", "n2")
+    return (
+        pairs.where(cont >= 0.8)
+        .select(
+            "d1", "d2", F.round(cont, 6).alias("containment")
+        )
+        .orderBy("d1", "d2")
+    )

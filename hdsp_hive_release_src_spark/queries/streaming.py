@@ -205,3 +205,20 @@ def stream_foreachbatch_upsert(
     — the final per-user state must equal the batch aggregation no
     matter how the stream was batched."""
     return jobs.foreachbatch_upsert(spark, sf_dir)
+
+
+@query(
+    "stream_trigger_available_now",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2)
+               AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_trigger_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trigger.AvailableNow one-shot drain (see streaming/jobs.py::
+    trigger_available_now) — self-terminating incremental batch run,
+    result ≡ the batch aggregation."""
+    return jobs.trigger_available_now(spark, sf_dir)

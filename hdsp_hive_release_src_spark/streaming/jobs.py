@@ -500,3 +500,30 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         "last_ts",
     ).orderBy("user_id")
+
+
+def trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow: the one-shot incremental drain that
+    replaced Trigger.Once — processes everything available at start in
+    rate-limited micro-batches, then STOPS on its own (no
+    processAllAvailable babysitting), keeping checkpoint semantics so
+    tomorrow's run resumes where this one ended. The
+    batch-equivalence contract is the same as any complete-mode agg
+    over a finite source, which the oracle checks; awaitTermination
+    returning (instead of hanging) IS the trigger's semantic."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"avail_now_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name).orderBy("event_type")
