@@ -54,6 +54,9 @@ _VERIFY_FIRST = (
     "like_family", "sql_pivot_unpivot", "named_window_clause",
     "date_builtins_wave3", "dedup_containment",
     "stream_trigger_available_now",
+    "percentile_within_group", "sql_session_variables",
+    "parameterized_query", "group_order_by_all",
+    "lateral_column_alias", "number_format_roundtrip",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)
@@ -103,6 +106,7 @@ def load_all() -> None:
         llm4,
         llm5,
         modern_surface,
+        modern_surface2,
         warehouse_surface,
         etl_surface,
         multimodal2,
