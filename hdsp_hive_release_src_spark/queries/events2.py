@@ -224,3 +224,53 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("col")
+
+
+@query(
+    "batch_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    tagged AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) + 30 * 60 * 1000000 AS BIGINT)
+               AS session_end_us,
+           count(*) AS n_events
+    FROM tagged GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window() in BATCH mode (30-min gap) — the same
+    builtin the streaming job uses (stream_sessionization), here as a
+    one-shot groupBy: Spark merges overlapping [ts, ts+gap) intervals
+    per key into sessions whose end = last event + gap. The oracle
+    derives identical sessions from the lag/cumsum formulation,
+    proving the two sessionization formulations (window-function and
+    native operator) agree — which is also the batch↔stream
+    consistency contract. One shuffle on user_id."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

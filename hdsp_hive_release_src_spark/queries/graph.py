@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
 
+B = F.broadcast
+
 _DAMP = 0.85
 _ROUNDS = 3
 
@@ -111,3 +113,93 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("n").alias("node"), F.round("rank", 6).alias("rank")
     ).orderBy("node")
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        _DUCK_EDGES.strip(),
+        "src AS (SELECT 'c' || min(c) AS s FROM pairs)",
+        """d0 AS (
+      SELECT n, CASE WHEN n = (SELECT s FROM src) THEN 0 END AS d
+      FROM nodes)""",
+    ]
+    for k in range(1, _BFS_ROUNDS + 1):
+        ctes.append(f"""d{k} AS (
+      SELECT n, min(d) AS d FROM (
+        SELECT n, d FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS n, p.d + 1 AS d
+        FROM edges e JOIN d{k - 1} p ON e.src = p.n
+        WHERE p.d IS NOT NULL)
+      GROUP BY n)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n AS node, CAST(d AS BIGINT) AS dist
+    FROM d{_BFS_ROUNDS} WHERE d IS NOT NULL ORDER BY node"""
+    )
+
+
+@query("shortest_path_bfs", oracle=_bfs_oracle())
+def shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path BFS over the trade graph from the
+    lowest-keyed customer node — the fourth member of the iterative
+    triad (pagerank, k-means, label propagation): each of the 4 fixed
+    rounds is one frontier join + one min-aggregation, all relational
+    (no driver-side frontier set — the frontier IS a DataFrame, so it
+    scales with the cluster, not the driver). Distances alternate
+    customer/supplier layers in this bipartite graph; unreached nodes
+    after 4 hops are excluded by both engines. The oracle unrolls the
+    identical rounds as CTEs."""
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.orders.where(F.col("o_custkey") < 60)
+        .join(
+            cat.lineitem,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), "c").alias("src"),
+        F.concat(F.lit("s"), "s").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        pairs.select(
+            F.concat(F.lit("s"), "s").alias("src"),
+            F.concat(F.lit("c"), "c").alias("dst"),
+        )
+    )
+    nodes = edges.select(F.col("src").alias("n")).distinct()
+    src = pairs.agg(
+        F.concat(F.lit("c"), F.min("c")).alias("s")
+    )
+    dist = nodes.join(B(src)).select(
+        "n", F.when(F.col("n") == F.col("s"), 0).alias("d")
+    )
+    for _ in range(_BFS_ROUNDS):
+        frontier = (
+            edges.join(
+                dist.where(F.col("d").isNotNull()),
+                edges.src == F.col("n"),
+            )
+            .select(F.col("dst").alias("n"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.select("n", "d")
+            .unionByName(frontier)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.where(F.col("d").isNotNull())
+        .select(F.col("n").alias("node"), F.col("d").cast("long").alias("dist"))
+        .orderBy("node")
+    )

@@ -174,3 +174,119 @@ def distribution_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - F.sum(F.col("prob") * F.col("prob")), 6).alias("gini"),
         F.count(F.lit(1)).alias("n_classes"),
     )
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS r, user_id % 4 AS c, count(*) AS o
+      FROM events GROUP BY r, c),
+    rt AS (SELECT r, sum(o) AS rn FROM obs GROUP BY r),
+    ct AS (SELECT c, sum(o) AS cn FROM obs GROUP BY c),
+    n AS (SELECT sum(o) AS total FROM obs),
+    cells AS (
+      SELECT obs.r, obs.c, obs.o,
+             rt.rn * ct.cn * 1.0 / n.total AS e
+      FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n)
+    SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    bucket (user_id mod 4): observed vs expected contingency counts,
+    Σ(O−E)²/E with the (r−1)(c−1) degrees of freedom — the drift /
+    A-B sanity test a feature pipeline runs before trusting a split.
+    One shuffle builds the contingency cells; marginals are
+    aggregate-sized and broadcast back, so the fact table is scanned
+    once regardless of table size."""
+    ev = Catalog(spark, sf_dir).events
+    obs = ev.groupBy(
+        F.col("event_type").alias("r"),
+        (F.col("user_id") % 4).alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("rn"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("cn"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .join(F.broadcast(n))
+        .withColumn(
+            "e", F.col("rn") * F.col("cn") / F.col("total")
+        )
+    )
+    return cells.agg(
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ),
+            4,
+        ).alias("chi2"),
+        (
+            (F.count_distinct("r") - 1) * (F.count_distinct("c") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "benford_distribution",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice
+             / power(10, floor(log10(o_totalprice)))) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice > 0),
+    agg AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM agg)
+    SELECT d AS digit, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / total, 6) AS observed_freq,
+           round(log10(1 + 1.0 / d), 6) AS benford_freq,
+           round(abs(n * 1.0 / total - log10(1 + 1.0 / d)), 6)
+               AS abs_dev
+    FROM agg CROSS JOIN tot ORDER BY digit
+    """,
+)
+def benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: the leading-significant-digit distribution
+    of order totals vs the log10(1+1/d) expectation — the classic
+    fabricated-numbers detector (synthetic uniform-ish TPC-H prices
+    deviate from Benford, and the per-digit abs_dev column SHOWS it;
+    a detector that can't fire proves nothing). Map-side digit
+    extraction via floor(x/10^floor(log10 x)) — no string formatting,
+    so both engines derive the digit from the same float arithmetic —
+    then a 9-row aggregation."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(10, F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    agg = o.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = agg.agg(F.sum("n").alias("total"))
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias(
+                "observed_freq"
+            ),
+            F.round(F.log10(1 + 1.0 / F.col("d")), 6).alias(
+                "benford_freq"
+            ),
+            F.round(
+                F.abs(
+                    F.col("n") / F.col("total")
+                    - F.log10(1 + 1.0 / F.col("d"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

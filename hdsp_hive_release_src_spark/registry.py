@@ -57,6 +57,8 @@ _VERIFY_FIRST = (
     "percentile_within_group", "sql_session_variables",
     "parameterized_query", "group_order_by_all",
     "lateral_column_alias", "number_format_roundtrip",
+    "shortest_path_bfs", "chi_square_independence",
+    "benford_distribution", "batch_session_window",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)
