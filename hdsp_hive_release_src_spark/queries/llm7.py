@@ -85,7 +85,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are missed; the oracle replays the identical blocking, so parity
     checks the operator's own contract, while `embedding_cosine_pairs`
     remains the exhaustive test-scale twin that measures the recall
-    gap."""
+    gap.
+
+    The assignment is MATERIALIZED to parquet before the pair join —
+    Catalyst plans a self-join's two sides as two full subtrees (no
+    exchange reuse across the alias), which would run the
+    scan+broadcast+argmax pipeline twice; writing the (cid, vec_id,
+    v, nrm) table once and joining the table against itself is
+    exactly what a production pipeline does (the assignment table is
+    also the artifact later stages — cluster stats, re-probing —
+    read)."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", to_double("embedding").alias("v")
     )
@@ -106,8 +118,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .select("cid", "vec_id", "v", "nrm")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    path = scratch_path("semantic_cells", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    assigned.write.parquet(path)
+    spark.catalog.refreshByPath(path)
+    cells = spark.read.parquet(path)
+    a = cells.alias("a")
+    b = cells.alias("b")
     cos = F.round(
         dot(F.col("a.v"), F.col("b.v"))
         / (F.col("a.nrm") * F.col("b.nrm")),
