@@ -181,3 +181,101 @@ def date_builtins_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("qtr"),
         F.dayofweek("o_orderdate").alias("dow"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "array_funcs_wave3",
+    oracle="""
+    WITH ws AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+      WHERE p_partkey < 2000)
+    SELECT p_partkey,
+           CAST(len(flatten([w, ['tail']])) AS INTEGER) AS flat_n,
+           CAST(len(list_filter(
+                 list_transform(w, x -> CASE WHEN len(x) > 4
+                                        THEN x END),
+                 x -> x IS NOT NULL)) AS INTEGER) AS compact_n,
+           list_prepend('head', w)[1] AS prepended_first,
+           list_append(w, 'tail')[-1] AS appended_last,
+           CAST(coalesce(list_position(w, 'spring'), 0) AS BIGINT)
+               AS pos_spring,
+           CAST(len(list_filter(w, x -> x <> w[1])) AS INTEGER)
+               AS removed_n,
+           len(list_intersect(w, ['spring', 'autumn'])) > 0
+               AS has_season
+    FROM ws ORDER BY p_partkey
+    """,
+)
+def array_funcs_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining array built-ins: flatten, array_compact (null
+    removal), array_prepend/append, array_position (0 when absent —
+    DuckDB's NULL coalesced to match), array_remove (all
+    occurrences), arrays_overlap. All map-only element expressions —
+    one scan, no shuffle but the presentation sort."""
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") < 2000)
+    w = F.split("p_name", " ")
+    nullified = F.transform(
+        w, lambda x: F.when(F.length(x) > 4, x)
+    )
+    return p.select(
+        "p_partkey",
+        F.size(F.flatten(F.array(w, F.array(F.lit("tail"))))).alias(
+            "flat_n"
+        ),
+        F.size(F.array_compact(nullified)).alias("compact_n"),
+        F.element_at(F.array_prepend(w, "head"), 1).alias(
+            "prepended_first"
+        ),
+        F.element_at(F.array_append(w, "tail"), -1).alias(
+            "appended_last"
+        ),
+        F.array_position(w, "spring").alias("pos_spring"),
+        F.size(F.array_remove(w, F.element_at(w, 1))).alias(
+            "removed_n"
+        ),
+        F.arrays_overlap(
+            w, F.array(F.lit("spring"), F.lit("autumn"))
+        ).alias("has_season"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "string_funcs_wave4",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_name, ' '),
+               w -> upper(w[1:1]) || lower(w[2:])), ' ') AS title_name,
+           substr(p_name, 1, 2) || 'XX' || substr(p_name, 5)
+               AS overlaid,
+           left(p_name, 4) AS l4,
+           right(p_name, 4) AS r4,
+           printf('%s|%03d', p_name, p_size) AS tagged,
+           prefix(p_name, 'b') AS starts_b,
+           suffix(p_name, 'e') AS ends_e,
+           contains(p_name, 'ol') AS has_ol,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+'))
+                AS INTEGER) AS vowel_runs
+    FROM part WHERE p_partkey < 2000 ORDER BY p_partkey
+    """,
+)
+def string_funcs_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining string built-ins: initcap (oracle rebuilds it
+    word-by-word — DuckDB has no initcap), overlay (PLACING/FROM
+    replacement), left/right, format_string printf templates,
+    startswith/endswith/contains predicates, and regexp_extract_all
+    run counts. Map-only single scan."""
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") < 2000)
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("title_name"),
+        F.overlay("p_name", F.lit("XX"), F.lit(3)).alias("overlaid"),
+        F.expr("left(p_name, 4)").alias("l4"),
+        F.expr("right(p_name, 4)").alias("r4"),
+        F.format_string("%s|%03d", "p_name", "p_size").alias("tagged"),
+        F.startswith("p_name", F.lit("b")).alias("starts_b"),
+        F.endswith("p_name", F.lit("e")).alias("ends_e"),
+        F.contains("p_name", F.lit("ol")).alias("has_ol"),
+        F.size(
+            F.expr("regexp_extract_all(p_name, '[aeiou]+', 0)")
+        ).alias("vowel_runs"),
+    ).orderBy("p_partkey")

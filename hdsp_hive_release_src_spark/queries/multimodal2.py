@@ -183,3 +183,55 @@ def binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_byte"),
     ).orderBy("fname")
+
+
+@query(
+    "media_dedup_binary",
+    oracle="""
+    SELECT md5(p_brand) AS content_hash,
+           min('blob_' || p_partkey || '.bin') AS keeper,
+           count(*) AS n_copies
+    FROM part WHERE p_partkey < 40
+    GROUP BY md5(p_brand) ORDER BY content_hash
+    """,
+)
+def media_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest — the FIRST stage of any
+    multimodal curation pipeline (byte-identical images/audio from
+    re-crawls collapse before any decode spends GPU time): blobs are
+    staged on disk (brand strings, so duplicates genuinely exist),
+    ingested via format("binaryFile"), and grouped by md5(content) —
+    one digest per file computed executor-side at read time, one
+    shuffle on the 16-byte hash, keeper = lexicographically first
+    file. The oracle hashes the identical bytes from the source
+    column."""
+    import os
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") < 40)
+    path = scratch_path("media_dedup_blobs", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for pk, brand in p.select("p_partkey", "p_brand").collect():
+        with open(f"{path}/blob_{pk}.bin", "wb") as f:
+            f.write(brand.encode("utf-8"))
+    spark.catalog.refreshByPath(path)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return (
+        blobs.select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.md5("content").alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("fname").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )

@@ -59,6 +59,7 @@ _VERIFY_FIRST = (
     "lateral_column_alias", "number_format_roundtrip",
     "shortest_path_bfs", "chi_square_independence",
     "benford_distribution", "batch_session_window",
+    "array_funcs_wave3", "string_funcs_wave4", "media_dedup_binary",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)
