@@ -291,3 +291,91 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+def _morton_bits(c: str, d: str, bits: int = 16) -> str:
+    """32-bit Morton interleave of two ``bits``-bit ints — identical
+    integer-arithmetic text for Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({d} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_interleave",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             CAST(o_custkey & 65535 AS BIGINT) AS c,
+             CAST(CAST(o_orderdate AS DATE) - DATE '2023-01-01'
+                  AS BIGINT) & 65535 AS d
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT o_orderkey,
+           CAST({_morton_bits('c', 'd')} AS BIGINT) AS zval
+    FROM k ORDER BY o_orderkey
+    """,
+)
+def zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: bit-interleaving customer key and order
+    date so that sorting by ONE value clusters BOTH dimensions — the
+    multi-dimensional data-layout technique behind Delta/Iceberg
+    OPTIMIZE ZORDER, built from plain bit arithmetic (no engine
+    support needed). Sorting files by zval makes per-file min/max
+    ranges tight in both custkey AND date, so scans filtering on
+    either dimension skip files (a linear sort clusters only its
+    leading column). The same interleave arithmetic runs in both
+    engines; the layout benefit itself is asserted in
+    tests/test_plans_r5.py on real written files."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    k = o.select(
+        "o_orderkey",
+        F.expr("CAST(o_custkey & 65535 AS BIGINT)").alias("c"),
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '2023-01-01') & 65535"
+            " AS BIGINT)"
+        ).alias("d"),
+    )
+    return k.select(
+        "o_orderkey",
+        F.expr(f"CAST({_morton_bits('c', 'd')} AS BIGINT)").alias(
+            "zval"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "sql_table_function",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 300000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table-valued function (CREATE FUNCTION ... RETURNS TABLE,
+    Spark 3.5+): a parameterized query registered once and invoked in
+    the FROM clause — the SQL-native reusable-view-with-arguments
+    Hive fakes with variable substitution. The function body inlines
+    at plan time, so the parameter behaves like a pushed-down literal
+    (no materialization boundary). Oracle inlines the same body."""
+    Catalog(spark, sf_dir).orders.createOrReplaceTempView(
+        "tf_orders_src"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders_by_prio(
+            cutoff DOUBLE)
+        RETURNS TABLE (o_orderpriority STRING, n BIGINT, total DOUBLE)
+        RETURN SELECT o_orderpriority, count(*) AS n,
+                      round(sum(o_totalprice), 2) AS total
+               FROM tf_orders_src WHERE o_totalprice > cutoff
+               GROUP BY o_orderpriority
+        """
+    )
+    return spark.sql(
+        "SELECT * FROM big_orders_by_prio(300000)"
+        " ORDER BY o_orderpriority"
+    )

@@ -365,3 +365,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+def _incr_minhash_oracle() -> str:
+    from hdsp_hive_release_src_spark.queries.llm import (
+        _DUCK_SH_CAPPED,
+        _DUCK_SHINGLES,
+    )
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 300 AND b.doc_id >= 300
+      GROUP BY 1, 2),
+    near AS (
+      SELECT d2 AS batch_doc, min(d1) AS matched_corpus_doc
+      FROM pairs JOIN sz s1 ON d1 = s1.doc_id
+                 JOIN sz s2 ON d2 = s2.doc_id
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+      GROUP BY d2)
+    SELECT d.doc_id AS batch_doc,
+           CASE WHEN near.batch_doc IS NOT NULL
+                THEN 'near_dup_of_corpus' ELSE 'keep' END AS decision,
+           near.matched_corpus_doc
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
+    LEFT JOIN near ON near.batch_doc = d.doc_id
+    ORDER BY batch_doc
+    """
+
+
+@query("incremental_dedup_minhash", oracle=_incr_minhash_oracle())
+def incremental_dedup_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental NEAR-dup: each new-batch document checked for
+    Jaccard ≥ 0.5 similarity against the EXISTING corpus only — the
+    nightly companion to incremental_dedup's exact pass (a re-crawl
+    with one changed sentence sails through exact hashing; this
+    catches it). Candidates come from the same capped inverted
+    shingle index (shingle_pair_counts), restricted to cross
+    (corpus, batch) pairs; batch-internal and corpus-internal pairs
+    are not even generated downstream work. In production the corpus
+    side is a PERSISTED signature/index table (the
+    semantic_dedup-style materialization) so each increment costs
+    O(batch × avg-postings), never a corpus rescan; here both sides
+    derive from one table split at doc_id 300 so the oracle can
+    replay the identical index."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        MAX_SHINGLE_DF,
+        _parallel_docs,
+        shingle_pair_counts,
+    )
+
+    d = _parallel_docs(spark, sf_dir)
+    pairs = shingle_pair_counts(d, MAX_SHINGLE_DF)
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    near = (
+        pairs.where(
+            (F.col("d1") < 300) & (F.col("d2") >= 300) & (jac >= 0.5)
+        )
+        .groupBy(F.col("d2").alias("batch_doc"))
+        .agg(F.min("d1").alias("matched_corpus_doc"))
+    )
+    batch = d.where(F.col("doc_id") >= 300).select(
+        F.col("doc_id").alias("batch_doc")
+    )
+    return (
+        batch.join(near, "batch_doc", "left")
+        .select(
+            "batch_doc",
+            F.when(
+                F.col("matched_corpus_doc").isNotNull(),
+                F.lit("near_dup_of_corpus"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+            "matched_corpus_doc",
+        )
+        .orderBy("batch_doc")
+    )

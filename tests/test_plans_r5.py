@@ -68,3 +68,57 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """Files sorted by the Morton key must carry tight per-file
+    ranges in BOTH custkey and date, where a linear custkey sort
+    leaves each file spanning (nearly) the whole date range — the
+    actual file-skipping benefit the interleave exists for."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    k = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(o_custkey & 65535 AS BIGINT)").alias("c"),
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '2023-01-01') & 65535"
+            " AS BIGINT)"
+        ).alias("d"),
+    )
+    from hdsp_hive_release_src_spark.queries.engine_surface2 import (
+        _morton_bits,
+    )
+
+    z = k.withColumn("zval", F.expr(_morton_bits("c", "d")))
+
+    def avg_spans(df, sort_col):
+        path = f"/root/repo/_scratch/zorder_test_{sort_col}"
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.repartitionByRange(8, F.col(sort_col))
+            .sortWithinPartitions(sort_col)
+            .write.parquet(path)
+        )
+        spark.catalog.refreshByPath(path)
+        back = spark.read.parquet(path)
+        spans = back.groupBy(
+            F.col("_metadata.file_path").alias("f")
+        ).agg(
+            (F.max("c") - F.min("c")).alias("cspan"),
+            (F.max("d") - F.min("d")).alias("dspan"),
+        )
+        row = spans.agg(
+            F.avg("cspan").alias("ac"), F.avg("dspan").alias("ad")
+        ).collect()[0]
+        return row.ac, row.ad
+
+    zc, zd = avg_spans(z, "zval")
+    lc, ld = avg_spans(z, "c")
+    # linear custkey sort: tight custkey spans, full date spans.
+    # zorder: BOTH spans well below the linear sort's date span.
+    assert zd < ld * 0.7, (zd, ld)
+    assert zc < lc * 20, (zc, lc)  # bounded trade on the lead dim
