@@ -311,3 +311,119 @@ def test_time_weighted_avg_matches_model(spark, samples):
         assert math.isclose(got[0]["twa"], num / den, rel_tol=1e-9)
     else:
         assert not got
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # value (dups!)
+            st.integers(min_value=0, max_value=10**6),  # id
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=2, max_value=9),
+)
+def test_exact_ntile_equals_sql_ntile(spark, rows, k):
+    """Distributed exact_ntile ≡ SQL ntile on random data with heavy
+    value duplication, random bucket counts, and tiny range counts
+    (forces multi-row ranges and rank-offset arithmetic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.operators.ranking import exact_ntile
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for v, i in rows], "id long, v double"
+    )
+    got = {
+        r.id: r.bucket
+        for r in exact_ntile(
+            df, "v", ["id"], n_buckets=k, n_ranges=4
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r.id: r.nt
+        for r in df.select(
+            "id", F.ntile(k).over(w).cast("long").alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # group key
+            st.integers(min_value=0, max_value=50),  # member
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bounded_postings_equals_model(spark, pairs, max_df):
+    """bounded_sorted_postings ≡ a Python dict model: per-key sorted
+    member list, kept only when 2 ≤ group size ≤ max_df (group size
+    counts DUPLICATE members too — the filter applies to row counts,
+    not distinct members)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.queries.llm import (
+        bounded_sorted_postings,
+    )
+
+    model = defaultdict(list)
+    for k, m in pairs:
+        model[k].append(m)
+    want = {
+        k: sorted(v)
+        for k, v in model.items()
+        if 2 <= len(v) <= max_df
+    }
+    df = spark.createDataFrame(
+        pairs or [(0, 0)], "k long, m long"
+    )
+    if not pairs:
+        df = df.where(F.lit(False))
+    got = {
+        r.k: list(r.ds)
+        for r in bounded_sorted_postings(
+            df, ["k"], F.col("m"), min_df=2, max_df=max_df
+        ).collect()
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_morton_interleave_roundtrip(spark, c, d):
+    """The Morton code must deinterleave back to exactly (c, d) —
+    bijectivity is what makes z-ordering a valid layout key."""
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.queries.engine_surface2 import (
+        _morton_bits,
+    )
+
+    df = spark.createDataFrame([(c, d)], "c long, d long")
+    z = df.select(F.expr(_morton_bits("c", "d")).alias("z"))
+    back_c = " + ".join(
+        f"(((z >> {2 * i + 1}) & 1) << {i})" for i in range(16)
+    )
+    back_d = " + ".join(
+        f"(((z >> {2 * i}) & 1) << {i})" for i in range(16)
+    )
+    row = z.select(
+        F.expr(back_c).alias("c"), F.expr(back_d).alias("d")
+    ).collect()[0]
+    assert (row.c, row.d) == (c, d)
