@@ -447,3 +447,60 @@ def incremental_dedup_minhash(
         )
         .orderBy("batch_doc")
     )
+
+
+@query(
+    "char_entropy_filter",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(text) + 1),
+                    i -> substr(text, i, 1))) AS c
+      FROM documents WHERE len(text) > 0),
+    freq AS (
+      SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS total FROM freq GROUP BY doc_id)
+    SELECT freq.doc_id,
+           CAST(tot.total AS BIGINT) AS n_chars,
+           round(-sum((n * 1.0 / total) * log2(n * 1.0 / total)), 4)
+               AS entropy
+    FROM freq JOIN tot ON freq.doc_id = tot.doc_id
+    GROUP BY freq.doc_id, tot.total
+    ORDER BY freq.doc_id
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document — the gibberish /
+    base64-blob / key-dump detector (natural text sits ~4 bits/char;
+    random alphanumerics ~6; single-char spam ~0). One explode to
+    (doc, char) rows, one shuffle on that composite key for the
+    frequency counts, then the entropy fold per doc. At 100 TB the
+    char explode is the cost — production computes the same histogram
+    inside one mapInPandas pass; the relational form here keeps the
+    whole computation oracle-replayable."""
+    d = Catalog(spark, sf_dir).documents.where(F.length("text") > 0)
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> substr(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    freq = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy")
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars"),
+            "entropy",
+        )
+        .orderBy("doc_id")
+    )

@@ -184,3 +184,143 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25 OFFSET 50
         """
     )
+
+
+@query(
+    "alter_table_evolution",
+    oracle="""
+    WITH c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey < 1000),
+    c2 AS (SELECT count(*) AS n FROM orders
+           WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
+    SELECT CAST(c1.n AS BIGINT) AS rows_before_alter,
+           CAST(c2.n AS BIGINT) AS rows_after_alter,
+           CAST(c1.n AS BIGINT) AS note_null_rows,
+           CAST(c2.n AS BIGINT) AS note_v2_rows
+    FROM c1, c2
+    """,
+)
+def alter_table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place DDL schema evolution: CREATE TABLE, load, ALTER TABLE
+    ADD COLUMNS, load more with the new column populated — old rows
+    read back with NULL in the added column, new rows carry values,
+    one consolidated scan serves both generations (the managed-table
+    half of schema evolution; parquet_schema_merge covers the
+    file-level half). At 100 TB ALTER ADD COLUMNS is metadata-only —
+    no rewrite of existing files — which is exactly why the old rows
+    MUST read as NULL."""
+    import shutil
+
+    o = Catalog(spark, sf_dir).orders
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS evo_orders")
+    shutil.rmtree(f"{warehouse}/evo_orders", ignore_errors=True)
+    o.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_totalprice"
+    ).write.saveAsTable("evo_orders")
+    spark.sql("ALTER TABLE evo_orders ADD COLUMNS (note STRING)")
+    o.where(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    ).select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("note")
+    ).write.insertInto("evo_orders")
+    t = spark.table("evo_orders")
+    return spark.createDataFrame(
+        [
+            (
+                t.where(F.col("o_orderkey") < 1000).count(),
+                t.where(F.col("o_orderkey") >= 1000).count(),
+                t.where(F.col("note").isNull()).count(),
+                t.where(F.col("note") == "v2").count(),
+            )
+        ],
+        "rows_before_alter long, rows_after_alter long, "
+        "note_null_rows long, note_v2_rows long",
+    )
+
+
+@query(
+    "insert_into_overwrite_semantics",
+    oracle="""
+    WITH c AS (SELECT count(*) AS n FROM orders WHERE o_orderkey < 1500)
+    SELECT CAST(2 * n AS BIGINT) AS after_two_inserts,
+           CAST(n AS BIGINT) AS after_overwrite,
+           CAST(0 AS BIGINT) AS after_truncate
+    FROM c
+    """,
+)
+def insert_into_overwrite_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Hive write-semantics triad on one table: INSERT INTO
+    appends (two loads double the rows), INSERT OVERWRITE replaces
+    the table's contents wholesale, TRUNCATE empties it — the
+    difference between them is the single most common source of
+    silent data duplication in ported Hive ETL. Counts are captured
+    after each stage and checked against exact arithmetic."""
+    import shutil
+
+    o = Catalog(spark, sf_dir).orders.where(
+        F.col("o_orderkey") < 1500
+    ).select("o_orderkey", "o_totalprice")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS ins_sem_orders")
+    shutil.rmtree(f"{warehouse}/ins_sem_orders", ignore_errors=True)
+    o.limit(0).write.saveAsTable("ins_sem_orders")
+    o.write.insertInto("ins_sem_orders")          # append 1
+    o.write.insertInto("ins_sem_orders")          # append 2
+    after_two = spark.table("ins_sem_orders").count()
+    o.write.insertInto("ins_sem_orders", overwrite=True)
+    after_over = spark.table("ins_sem_orders").count()
+    spark.sql("TRUNCATE TABLE ins_sem_orders")
+    after_trunc = spark.table("ins_sem_orders").count()
+    return spark.createDataFrame(
+        [(after_two, after_over, after_trunc)],
+        "after_two_inserts long, after_overwrite long, "
+        "after_truncate long",
+    )
+
+
+@query(
+    "alter_drop_partition",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderkey < 4000 AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def alter_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... DROP PARTITION — the retention/GDPR primitive
+    of every partitioned warehouse: one partition's data and metadata
+    removed without touching siblings (the read back proves exactly
+    the dropped priority is gone and every other partition is
+    intact). At 100 TB dropping a date partition is O(1) metadata +
+    file deletes — the reason tables partition by date in the first
+    place."""
+    import shutil
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 4000)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS droppart_orders")
+    shutil.rmtree(f"{warehouse}/droppart_orders", ignore_errors=True)
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .saveAsTable("droppart_orders")
+    )
+    spark.sql(
+        "ALTER TABLE droppart_orders DROP PARTITION "
+        "(o_orderpriority='1-URGENT')"
+    )
+    return (
+        spark.table("droppart_orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -290,3 +290,58 @@ def benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(CAST(value AS DOUBLE)) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - med.med) AS adev, med.med
+      FROM events e JOIN med ON e.event_type = med.event_type),
+    mad AS (
+      SELECT event_type, median(CAST(adev AS DOUBLE)) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           round(max(dev.med), 4) AS median_value,
+           round(max(mad.mad), 4) AS mad,
+           CAST(sum(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type ORDER BY dev.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type —
+    the ROBUST alternative to z-scores (zscore_outliers): one extreme
+    value drags a mean/stddev fence toward itself, while medians
+    don't move, so MAD fences survive exactly the contamination
+    they're hunting. Two exact-median passes (per-group medians are
+    bounded-group sorts), each group's median broadcast back; the
+    3×1.4826 factor scales MAD to σ-equivalents under normality."""
+    ev = Catalog(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(
+        F.median("value").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

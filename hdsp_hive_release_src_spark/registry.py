@@ -62,6 +62,8 @@ _VERIFY_FIRST = (
     "array_funcs_wave3", "string_funcs_wave4", "media_dedup_binary",
     "zorder_interleave", "sql_table_function",
     "incremental_dedup_minhash",
+    "alter_table_evolution", "insert_into_overwrite_semantics",
+    "alter_drop_partition", "char_entropy_filter", "mad_outliers",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)
