@@ -279,3 +279,82 @@ def string_funcs_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(p_name, '[aeiou]+', 0)")
         ).alias("vowel_runs"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "timezone_conversions",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ny_ts,
+           CAST(hour(CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+                AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP)) AS INTEGER)
+               AS tokyo_hour,
+           TRUE AS roundtrip_ok
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def timezone_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_utc_timestamp / to_utc_timestamp — the wall-clock
+    reporting conversions every global warehouse runs at the
+    presentation edge (storage stays UTC; conversion is per-query).
+    The NY and Tokyo conversions are value-checked against DuckDB's
+    ICU AT TIME ZONE chain, and the roundtrip_ok flag carries the
+    computed to_utc(from_utc(ts)) == ts invariant (not a literal).
+    January data pins the US offset to EST; a DST-boundary dataset
+    would exercise the gap/overlap rules the same code path
+    handles."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("event_id") < 2000)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    back = F.to_utc_timestamp(ny, "America/New_York")
+    return ev.select(
+        "event_id",
+        ny.alias("ny_ts"),
+        F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo"))
+        .cast("int")
+        .alias("tokyo_hour"),
+        (back == F.col("ts")).alias("roundtrip_ok"),
+    ).orderBy("event_id")
+
+
+@query(
+    "array_exists_forall",
+    oracle="""
+    WITH ws AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+      WHERE p_partkey < 2000)
+    SELECT p_partkey,
+           len(list_filter(w, x -> len(x) > 6)) > 0 AS any_long,
+           len(list_filter(w, x -> NOT regexp_matches(x, '^[a-z]+$')))
+               = 0 AS all_alpha,
+           CAST(len(list_filter(w, (x, i) -> i % 2 = 1)) AS INTEGER)
+               AS n_even_pos,
+           CAST(list_sum(list_transform(w, x -> len(x))) * 10
+                AS BIGINT) AS len_sum_x10
+    FROM ws ORDER BY p_partkey
+    """,
+)
+def array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order predicate quartet: exists / forall /
+    index-aware filter / aggregate-with-finish — all JVM lambda
+    expressions inside one codegen stage (the reason these beat a
+    Python UDF by orders of magnitude). Index bases differ across
+    engines (Spark 0-based, DuckDB 1-based) — the oracle mirrors
+    even-position selection accordingly; the finish lambda is
+    replayed as arithmetic."""
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") < 2000)
+    w = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.exists(w, lambda x: F.length(x) > 6).alias("any_long"),
+        F.forall(w, lambda x: x.rlike("^[a-z]+$")).alias("all_alpha"),
+        F.size(
+            F.filter(w, lambda x, i: i % 2 == 0)
+        ).cast("int").alias("n_even_pos"),
+        F.aggregate(
+            w,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+            lambda acc: acc * 10,
+        ).cast("long").alias("len_sum_x10"),
+    ).orderBy("p_partkey")

@@ -345,3 +345,43 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS rnk,
+             count(*) OVER () AS n
+      FROM orders WHERE o_orderkey < 4000)
+    SELECT o_orderkey, round((rnk - 0.5) / n, 6) AS qnorm
+    FROM r ORDER BY o_orderkey
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization ((rank − 0.5)/n — the rankit
+    transform ML preprocessing applies to heavy-tailed features):
+    built on the DISTRIBUTED exact-rank operator
+    (operators/ranking.py), so unlike the oracle's global
+    row_number() window there is no single-partition sort anywhere in
+    the plan — the same values at any scale. The ntile queries share
+    this machinery; this is its continuous-valued use."""
+    from hdsp_hive_release_src_spark.operators.ranking import (
+        with_global_rank,
+    )
+
+    o = Catalog(spark, sf_dir).orders.where(
+        F.col("o_orderkey") < 4000
+    ).select("o_orderkey", "o_totalprice")
+    ranked, total = with_global_rank(
+        o, "o_totalprice", ["o_orderkey"], rank_col="__rank"
+    )
+    return (
+        ranked.select(
+            "o_orderkey",
+            F.round((F.col("__rank") - 0.5) / total, 6).alias("qnorm"),
+        )
+        .orderBy("o_orderkey")
+    )

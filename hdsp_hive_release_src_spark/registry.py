@@ -64,6 +64,8 @@ _VERIFY_FIRST = (
     "incremental_dedup_minhash",
     "alter_table_evolution", "insert_into_overwrite_semantics",
     "alter_drop_partition", "char_entropy_filter", "mad_outliers",
+    "timezone_conversions", "array_exists_forall",
+    "quantile_normalize",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)
