@@ -74,6 +74,41 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def get_hive_spark(
+    metastore_dir: str,
+    app_name: str = "hdsp-hive-release-src-spark-hive",
+    master: str = "local[4]",
+) -> SparkSession:
+    """SparkSession with HIVE catalog integration (the BASELINE.json
+    north-star deployment shape: Spark SQL over a Hive metastore).
+
+    The pyspark distribution bundles hive-metastore/hive-exec jars, so
+    ``enableHiveSupport`` works out of the box; ``metastore_dir``
+    hosts the embedded Derby metastore + warehouse for local runs — a
+    cluster deployment points ``hive.metastore.uris`` at the shared
+    metastore service instead and every ``saveAsTable`` / ``ANALYZE``
+    / ``MSCK REPAIR`` / partition DDL in this repo runs unchanged
+    against it (the catalog API surface is identical; only the
+    catalog's durability changes). catalogImplementation is a STATIC
+    conf — this must build the process's FIRST session; it cannot
+    retrofit an in-memory-catalog session (tests exercise it in a
+    subprocess for exactly that reason)."""
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", f"{metastore_dir}/warehouse")
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir}/metastore_db;"
+            "create=true",
+        )
+        .config("spark.ui.enabled", "false")
+        .enableHiveSupport()
+        .getOrCreate()
+    )
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Pin the confs value-comparison against DuckDB depends on, on a
     session we did not build (e.g. the driver's), plus runtime-settable
