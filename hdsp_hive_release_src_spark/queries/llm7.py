@@ -145,3 +145,169 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("v1", "v2")
     )
+
+
+_PQ_M = 8       # subspaces
+_PQ_DSUB = 8    # dims per subspace (8 x 8 = 64)
+_PQ_K = 16      # centroids per subspace
+_PQ_NQ = 3      # query vectors (vec_id < 3)
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ replay: md5-ranked 16-seed codebook per subspace,
+    per-(vector, subspace) argmin codes (distances rounded to 9
+    before the tie-break so ulp noise can't flip a code), ADC
+    distance = sum over subspaces of query-to-assigned-centroid d²."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+             v
+      FROM (SELECT * FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_PQ_K})),
+    sub AS (
+      SELECT e.vec_id, m.m, s.k,
+             round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+               i -> (e.v[m.m * {_PQ_DSUB} + i]
+                     - s.v[m.m * {_PQ_DSUB} + i])
+                  * (e.v[m.m * {_PQ_DSUB} + i]
+                     - s.v[m.m * {_PQ_DSUB} + i]))), 9) AS d2
+      FROM emb e CROSS JOIN range(0, {_PQ_M}) m(m) CROSS JOIN seeds s),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+        FROM sub) WHERE rn = 1),
+    qd AS (
+      SELECT vec_id AS query_id, m, k, d2 FROM sub
+      WHERE vec_id < {_PQ_NQ}),
+    adist AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id,
+             round(sum(qd.d2), 6) AS approx_d2
+      FROM codes c
+      JOIN qd ON qd.m = c.m AND qd.k = c.code
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY qd.query_id, c.vec_id)
+    SELECT query_id, neighbor_id, approx_d2,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_d2, neighbor_id) AS rnk FROM adist)
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_product_quantization", oracle=_pq_oracle())
+def ann_product_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each 64-dim
+    vector compresses to 8 one-byte codes (one 16-way argmin per
+    8-dim subspace against a deterministic md5-ranked codebook), and
+    query-to-vector distance is approximated ADC-style — the query's
+    precomputed distance to each subspace centroid, summed over the
+    vector's codes. This is the memory-side ANN scale lever the
+    IVF/LSH queries don't cover: the corpus shrinks 64 doubles → 8
+    bytes (64×), so a 100 TB embedding store scans as ~1.5 TB of
+    codes with NO per-pair float math (8 table lookups per
+    candidate). Encoding is map-only (literal codebook, like the
+    kmeans assignment); the 3 queries' 8×16 distance tables are
+    driver-computed literals (the classic ADC lookup table). Code
+    distances are rounded to 9 before the argmin tie-break in BOTH
+    engines so an ulp cannot flip a code. In production the codes
+    table is materialized once (as semantic_dedup materializes its
+    cells) and re-encoded only on codebook refresh."""
+    import hashlib as _hl
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", to_double("embedding").alias("v")
+    )
+    seed_rows = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        .limit(_PQ_K)
+        .collect()
+    )
+    cents = [list(r.v) for r in seed_rows]  # 16 × 64
+
+    def sub_d2_expr(m: int, k: int):
+        cslice = F.array(
+            *[
+                F.lit(float(cents[k][m * _PQ_DSUB + i]))
+                for i in range(_PQ_DSUB)
+            ]
+        )
+        vslice = F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)
+        return F.round(
+            F.aggregate(
+                F.zip_with(vslice, cslice, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    code_cols = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_d2_expr(m, k).alias("d"),
+                        F.lit(k).alias("k"),
+                    )
+                    for k in range(_PQ_K)
+                ]
+            )
+        )["k"].alias(f"c{m}")
+        for m in range(_PQ_M)
+    ]
+    codes = e.select("vec_id", *code_cols)
+
+    qrows = {
+        r.vec_id: list(r.v)
+        for r in e.where(F.col("vec_id") < _PQ_NQ).collect()
+    }
+
+    def py_d2(q: list, m: int, k: int) -> float:
+        s = 0.0
+        for i in range(_PQ_DSUB):
+            dlt = q[m * _PQ_DSUB + i] - cents[k][m * _PQ_DSUB + i]
+            s += dlt * dlt
+        return round(s, 9)
+
+    branches = []
+    for qid, qv in sorted(qrows.items()):
+        dist = None
+        for m in range(_PQ_M):
+            tab = F.array(
+                *[F.lit(py_d2(qv, m, k)) for k in range(_PQ_K)]
+            )
+            term = F.element_at(tab, F.col(f"c{m}") + 1)
+            dist = term if dist is None else dist + term
+        branches.append(
+            codes.where(F.col("vec_id") != qid).select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(dist, 6).alias("approx_d2"),
+            )
+        )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionByName(b)
+    w = Window.partitionBy("query_id").orderBy(
+        "approx_d2", "neighbor_id"
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )

@@ -254,3 +254,64 @@ def grouping_id_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, prio, status
         """
     )
+
+
+@query(
+    "dynamic_partition_pruning",
+    oracle="""
+    SELECT l.l_linestatus, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+    """,
+)
+def dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning: the fact side is PARTITIONED on the
+    order's priority attribute, and the dim filter sits on a
+    DIFFERENT column (o_totalprice > 450000) — which priorities
+    survive is only knowable at run time, so no static partition
+    predicate can be derived (a filter ON the partition column itself
+    gets constant-propagated into a static PartitionFilter — the
+    easier case). DPP injects the dim's surviving priority keys as a
+    runtime subquery into the fact scan's partition pruning. THE
+    optimization for star joins over date-partitioned 100 TB facts
+    (without it, every dim-filtered join is a full fact scan). The
+    dynamicpruning expression's presence in the plan is asserted in
+    tests; the oracle checks values against the unpartitioned
+    join."""
+    cat = Catalog(spark, sf_dir)
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+    import shutil
+
+    path = scratch_path("dpp_lineitem", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    # stamp each lineitem with its order's priority and partition on it
+    li = cat.lineitem.join(
+        cat.orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderpriority").alias("prio"),
+        ),
+        "l_orderkey",
+    ).select("l_orderkey", "l_linestatus", "l_extendedprice", "prio")
+    li.write.partitionBy("prio").parquet(path)
+    spark.catalog.refreshByPath(path)
+    fact = spark.read.parquet(path)
+    dim = cat.orders.select(
+        "o_orderkey", "o_orderpriority"
+    ).where(F.col("o_totalprice") > 450000)
+    joined = fact.join(
+        dim,
+        (fact.l_orderkey == dim.o_orderkey)
+        & (fact.prio == dim.o_orderpriority),
+    )
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -65,7 +65,8 @@ _VERIFY_FIRST = (
     "alter_table_evolution", "insert_into_overwrite_semantics",
     "alter_drop_partition", "char_entropy_filter", "mad_outliers",
     "timezone_conversions", "array_exists_forall",
-    "quantile_normalize",
+    "quantile_normalize", "dynamic_partition_pruning",
+    "ann_product_quantization",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)

@@ -122,3 +122,12 @@ def test_zorder_layout_clusters_both_dimensions(spark):
     # zorder: BOTH spans well below the linear sort's date span.
     assert zd < ld * 0.7, (zd, ld)
     assert zc < lc * 20, (zc, lc)  # bounded trade on the lead dim
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The fact scan must carry a dynamicpruning expression on the
+    partition column — the runtime filter injected from the dim side
+    (without it the partitioned fact is fully scanned)."""
+    df = registry.QUERIES["dynamic_partition_pruning"](spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
