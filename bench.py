@@ -50,6 +50,14 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # heap is sized from host MemAvailable (session.py) — surface the
+    # value so a loaded box's degraded timings are explainable from
+    # the bench record instead of silently machine-dependent
+    print(
+        f"# spark.driver.memory="
+        f"{spark.conf.get('spark.driver.memory', 'default')}",
+        file=sys.stderr,
+    )
 
     # Warm-up: run every headliner once at the smallest SF first. This
     # compiles each query's whole-stage-codegen classes (Janino) and

@@ -37,13 +37,20 @@ from pyspark.sql import functions as F
 class MvDef:
     """A registered MV: ``table`` holds one row per G-tuple with SUM
     partial columns (``sums``: measure source expr name → stored sum
-    column) and a stored row-count column ``count_col``."""
+    column) and a stored row-count column ``count_col``.
+
+    ``measure_counts`` maps a measure source to its stored NON-NULL
+    count column — required for avg derivation: SUM(sum)/SUM(n_rows)
+    diverges from true AVG whenever the measure has NULLs (SUM skips
+    them, the row count doesn't), so an avg request is only covered
+    when the MV stored COUNT(measure) partials."""
 
     table: str
     base: str
     group_cols: tuple[str, ...]
     sums: dict[str, str] = field(default_factory=dict)
     count_col: str = "n_rows"
+    measure_counts: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -98,6 +105,8 @@ class MvResolver:
         for m in measures:
             if m.kind in ("sum", "avg") and m.src not in mv.sums:
                 return False
+            if m.kind == "avg" and m.src not in mv.measure_counts:
+                return False  # see MvDef.measure_counts — NULL safety
         return True
 
     def answer(
@@ -125,10 +134,12 @@ class MvResolver:
                     aggs.append(F.sum(mv.sums[m.src]).alias(m.alias))
                 elif m.kind == "count":
                     aggs.append(F.sum(mv.count_col).alias(m.alias))
-                else:  # avg = sum of partial sums / sum of counts
+                else:  # avg = SUM(partial sums) / SUM(non-null counts)
                     aggs.append(
-                        (F.sum(mv.sums[m.src]) / F.sum(mv.count_col))
-                        .alias(m.alias)
+                        (
+                            F.sum(mv.sums[m.src])
+                            / F.sum(mv.measure_counts[m.src])
+                        ).alias(m.alias)
                     )
             out = t.groupBy(*[k.expr() for k in keys]).agg(*aggs)
             return out, mv.table

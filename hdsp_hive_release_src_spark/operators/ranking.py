@@ -49,8 +49,11 @@ def with_global_rank(
     n_ranges: int = 32,
     rank_col: str = "rank",
 ) -> tuple[DataFrame, int]:
-    """Return (df + exact dense 1-based global rank column, total row
-    count) for the order (value_col [DESC], *tiebreak_cols ASC)."""
+    """Return (df + exact 1-based global rank column, total row
+    count) for the order (value_col [DESC], *tiebreak_cols ASC).
+    row_number semantics: every row gets a UNIQUE rank, ties in
+    value_col resolved by the tiebreak columns (RANK/DENSE_RANK
+    shared-rank semantics are NOT provided)."""
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import fresh_managed_table
 
 
 @query(
@@ -217,11 +218,7 @@ def ctas_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone leaves the directory behind and CTAS refuses to overwrite."""
     cat = Catalog(spark, sf_dir)
     table = "ctas_orders_f"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    fresh_managed_table(spark, f"{table}")
     (
         cat.orders.where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderpriority", "o_totalprice")

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import fresh_managed_table
 
 
 @query(
@@ -100,11 +101,7 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     li = Catalog(spark, sf_dir).lineitem
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql("DROP TABLE IF EXISTS stats_lineitem")
-    shutil.rmtree(f"{warehouse}/stats_lineitem", ignore_errors=True)
+    fresh_managed_table(spark, "stats_lineitem")
     li.select("l_orderkey", "l_quantity").write.saveAsTable(
         "stats_lineitem"
     )
@@ -160,11 +157,7 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     o = Catalog(spark, sf_dir).orders
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql("DROP TABLE IF EXISTS colstats_orders")
-    shutil.rmtree(f"{warehouse}/colstats_orders", ignore_errors=True)
+    fresh_managed_table(spark, "colstats_orders")
     o.select("o_orderpriority", "o_totalprice").write.saveAsTable(
         "colstats_orders"
     )

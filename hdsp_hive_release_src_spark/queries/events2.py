@@ -234,7 +234,7 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
                     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
-                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+                  >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
       FROM events),
     tagged AS (
       SELECT user_id, ts,
@@ -254,8 +254,11 @@ def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window() in BATCH mode (30-min gap) — the same
     builtin the streaming job uses (stream_sessionization), here as a
     one-shot groupBy: Spark merges overlapping [ts, ts+gap) intervals
-    per key into sessions whose end = last event + gap. The oracle
-    derives identical sessions from the lag/cumsum formulation,
+    per key into sessions whose end = last event + gap — the window
+    end is EXCLUSIVE, so an event exactly gap after its predecessor
+    starts a NEW session (the oracle's split condition is therefore
+    >=, not >). The oracle derives identical sessions from the
+    lag/cumsum formulation,
     proving the two sessionization formulations (window-function and
     native operator) agree — which is also the batch↔stream
     consistency contract. One shuffle on user_id."""

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import fresh_managed_table
 
 
 @query(
@@ -254,11 +255,7 @@ def show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     li = Catalog(spark, sf_dir).lineitem
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql("DROP TABLE IF EXISTS sp_lineitem")
-    shutil.rmtree(f"{warehouse}/sp_lineitem", ignore_errors=True)
+    fresh_managed_table(spark, "sp_lineitem")
     (
         li.select("l_orderkey", "l_extendedprice", "l_returnflag")
         .write.partitionBy("l_returnflag")

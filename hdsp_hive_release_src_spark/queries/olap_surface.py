@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import fresh_managed_table
 
 
 @query(
@@ -215,11 +216,7 @@ def mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     mv = "mv_auto_monthly"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {mv}")
-    shutil.rmtree(f"{warehouse}/{mv}", ignore_errors=True)
+    fresh_managed_table(spark, f"{mv}")
     rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
         1 - F.col("l_discount")
     ).cast("decimal(18,4)")
@@ -231,6 +228,9 @@ def mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(rev).alias("rev_sum"),
             F.count(F.lit(1)).alias("n_rows"),
+            # non-null measure count — what avg derivation divides by
+            # (n_rows would overcount if the measure had NULLs)
+            F.count(rev).alias("rev_n"),
         )
         .write.mode("overwrite")
         .saveAsTable(mv)
@@ -243,6 +243,7 @@ def mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_cols=("l_returnflag", "month"),
             sums={"revenue": "rev_sum"},
             count_col="n_rows",
+            measure_counts={"revenue": "rev_n"},
         )
     )
     keys = [
@@ -310,11 +311,7 @@ def materialized_view_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     days of facts and 3 rows per flag."""
     cat = Catalog(spark, sf_dir)
     mv = "mv_monthly_revenue"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {mv}")
-    shutil.rmtree(f"{warehouse}/{mv}", ignore_errors=True)
+    fresh_managed_table(spark, f"{mv}")
     (
         cat.lineitem.groupBy(
             "l_returnflag",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import fresh_managed_table
 
 
 @query(
@@ -211,11 +212,7 @@ def alter_table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     o = Catalog(spark, sf_dir).orders
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql("DROP TABLE IF EXISTS evo_orders")
-    shutil.rmtree(f"{warehouse}/evo_orders", ignore_errors=True)
+    fresh_managed_table(spark, "evo_orders")
     o.where(F.col("o_orderkey") < 1000).select(
         "o_orderkey", "o_totalprice"
     ).write.saveAsTable("evo_orders")
@@ -264,11 +261,7 @@ def insert_into_overwrite_semantics(
     o = Catalog(spark, sf_dir).orders.where(
         F.col("o_orderkey") < 1500
     ).select("o_orderkey", "o_totalprice")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql("DROP TABLE IF EXISTS ins_sem_orders")
-    shutil.rmtree(f"{warehouse}/ins_sem_orders", ignore_errors=True)
+    fresh_managed_table(spark, "ins_sem_orders")
     o.limit(0).write.saveAsTable("ins_sem_orders")
     o.write.insertInto("ins_sem_orders")          # append 1
     o.write.insertInto("ins_sem_orders")          # append 2
@@ -304,11 +297,7 @@ def alter_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 4000)
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    spark.sql("DROP TABLE IF EXISTS droppart_orders")
-    shutil.rmtree(f"{warehouse}/droppart_orders", ignore_errors=True)
+    fresh_managed_table(spark, "droppart_orders")
     (
         o.select("o_orderkey", "o_totalprice", "o_orderpriority")
         .write.partitionBy("o_orderpriority")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
 from hdsp_hive_release_src_spark.sources.io import (
+    fresh_managed_table,
     roundtrip_csv,
     roundtrip_json,
     roundtrip_orc,
@@ -226,16 +227,10 @@ def multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     several sinks. The statement itself is the surface under test (run
     as raw HiveQL); both sinks are read back and summarized so the
     oracle checks what actually landed in each."""
-    import shutil
-
     cat = Catalog(spark, sf_dir)
     cat.orders.createOrReplaceTempView("mi_orders_src")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
     for t in ("mi_high", "mi_low"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        fresh_managed_table(spark, t)
         spark.sql(
             f"CREATE TABLE {t} (o_orderkey BIGINT, o_totalprice DOUBLE)"
             " USING parquet"

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
+from hdsp_hive_release_src_spark.sources.io import fresh_managed_table
 
 
 @query(
@@ -108,15 +109,9 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table joined on the same key every day at 100 TB: pay the
     bucketed write once, skip the dominant shuffle on every read.
     Values must equal the plain join (oracle)."""
-    import shutil
-
     cat = Catalog(spark, sf_dir)
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
     for tbl in ("bk_lineitem", "bk_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        fresh_managed_table(spark, tbl)
     (
         cat.lineitem.where(F.col("l_orderkey") < 5000)
         .select("l_orderkey", "l_extendedprice")

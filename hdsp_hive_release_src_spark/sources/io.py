@@ -77,3 +77,18 @@ def try_ext_connector(spark: SparkSession, fmt: str):
             f"add the package to spark.jars.packages and retry"
         )
     raise ValueError(f"unknown external format {fmt!r}")
+
+
+def fresh_managed_table(spark: SparkSession, name: str) -> None:
+    """DROP a managed table AND clear its warehouse directory — DROP
+    alone can't clean a leftover location after a metastore reset, and
+    a stale directory makes the next saveAsTable fail. One place for
+    the warehouse-path derivation (file:-prefix stripping) instead of
+    a copy per query."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)

@@ -45,7 +45,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _os.path.isdir(path):
         probe = next(iter(_glob.glob(f"{path}/*.parquet")), path)
     ts_type = str(pq.read_schema(probe).field("ts").type)
-    if ts_type == "timestamp[ns]":
+    # matches both naive "timestamp[ns]" and tz-adjusted
+    # "timestamp[ns, tz=...]" renderings — either layout needs the
+    # legacy long read or the batch probe below throws
+    if ts_type.startswith("timestamp[ns"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the streaming file source requires a directory; glob-filter the
@@ -524,6 +527,11 @@ def trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
     q.stop()
+    if not finished:
+        # a timed-out drain would silently return a partial snapshot
+        raise TimeoutError(
+            "AvailableNow drain did not terminate within 120s"
+        )
     return spark.table(name).orderBy("event_type")

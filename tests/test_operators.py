@@ -235,11 +235,12 @@ def test_mv_resolver_picks_mv_and_falls_back(spark):
     )
     spark.sql("DROP TABLE IF EXISTS mv_test_partials")
     base.groupBy("g1", "g2").agg(
-        F.sum("v").alias("v_sum"), F.count(F.lit(1)).alias("n_rows")
+        F.sum("v").alias("v_sum"), F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("v_n")
     ).write.mode("overwrite").saveAsTable("mv_test_partials")
     r = MvResolver()
     r.register(MvDef("mv_test_partials", "base", ("g1", "g2"),
-                     {"v": "v_sum"}))
+                     {"v": "v_sum"}, measure_counts={"v": "v_n"}))
     keys = [GroupKey("g1", "g1")]
     ms = [Measure("total", "sum", "v"), Measure("n", "count"),
           Measure("mean", "avg", "v")]
@@ -261,3 +262,49 @@ def test_mv_resolver_picks_mv_and_falls_back(spark):
         1.0: 6, 2.0: 6, 4.0: 6
     }
     spark.sql("DROP TABLE IF EXISTS mv_test_partials")
+
+
+def test_mv_resolver_avg_requires_measure_counts(spark):
+    """An MV without stored non-null measure counts must NOT cover an
+    avg request (SUM(sum)/SUM(n_rows) diverges under measure NULLs) —
+    the resolver falls back to the base table, whose F.avg excludes
+    NULLs and stays correct."""
+    from hdsp_hive_release_src_spark.operators.mv_rewrite import (
+        GroupKey,
+        Measure,
+        MvDef,
+        MvResolver,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", 5.0)],
+        "g1 string, v double",
+    )
+    spark.sql("DROP TABLE IF EXISTS mv_nulls_partials")
+    base.groupBy("g1").agg(
+        F.sum("v").alias("v_sum"), F.count(F.lit(1)).alias("n_rows")
+    ).write.mode("overwrite").saveAsTable("mv_nulls_partials")
+    r = MvResolver()
+    r.register(
+        MvDef("mv_nulls_partials", "base", ("g1",), {"v": "v_sum"})
+    )
+    out, used = r.answer(
+        spark, base, "base",
+        [GroupKey("g1", "g1")], [Measure("mean", "avg", "v")],
+        {"v": F.col("v")},
+    )
+    assert used is None  # avg not derivable without measure counts
+    got = {x.g1: round(x.mean, 6) for x in out.collect()}
+    assert got == {"a": 2.0, "b": 5.0}  # NULL excluded, not zero
+    # sum/count requests ARE still covered by the same MV
+    out2, used2 = r.answer(
+        spark, base, "base",
+        [GroupKey("g1", "g1")],
+        [Measure("total", "sum", "v"), Measure("n", "count")],
+        {"v": F.col("v")},
+    )
+    assert used2 == "mv_nulls_partials"
+    assert {x.g1: (x.total, x.n) for x in out2.collect()} == {
+        "a": (4.0, 3), "b": (5.0, 1)
+    }
+    spark.sql("DROP TABLE IF EXISTS mv_nulls_partials")

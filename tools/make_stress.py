@@ -31,13 +31,12 @@ ID_COLS = {
     "customer": ["c_custkey", "c_nationkey"],
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    # l_linenumber is a within-order ordinal, not a FK — untouched
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
-# l_linenumber is a within-order ordinal, not a FK — leave it alone
-ID_COLS["lineitem"] = ["l_orderkey", "l_partkey", "l_suppkey"]
 
 
 def build(src: str, dst: str, n: int = 10) -> None:
