@@ -98,7 +98,6 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the count directly); at 100 TB you ANALYZE incrementally per
     partition, and stale stats are how plans go wrong — this check is
     the freshness audit."""
-    import shutil
 
     li = Catalog(spark, sf_dir).lineitem
     fresh_managed_table(spark, "stats_lineitem")
@@ -154,7 +153,6 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one full scan with mergeable sketches per column — run it
     incrementally per partition and only for the columns the
     workload's join/filter keys need."""
-    import shutil
 
     o = Catalog(spark, sf_dir).orders
     fresh_managed_table(spark, "colstats_orders")

@@ -252,7 +252,6 @@ def show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. The oracle derives the same partition list from the data, so
     the check proves the catalog's partition discovery matches reality.
     """
-    import shutil
 
     li = Catalog(spark, sf_dir).lineitem
     fresh_managed_table(spark, "sp_lineitem")

@@ -209,7 +209,6 @@ def alter_table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-level half). At 100 TB ALTER ADD COLUMNS is metadata-only —
     no rewrite of existing files — which is exactly why the old rows
     MUST read as NULL."""
-    import shutil
 
     o = Catalog(spark, sf_dir).orders
     fresh_managed_table(spark, "evo_orders")
@@ -256,7 +255,6 @@ def insert_into_overwrite_semantics(
     difference between them is the single most common source of
     silent data duplication in ported Hive ETL. Counts are captured
     after each stage and checked against exact arithmetic."""
-    import shutil
 
     o = Catalog(spark, sf_dir).orders.where(
         F.col("o_orderkey") < 1500
@@ -294,7 +292,6 @@ def alter_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     intact). At 100 TB dropping a date partition is O(1) metadata +
     file deletes — the reason tables partition by date in the first
     place."""
-    import shutil
 
     o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 4000)
     fresh_managed_table(spark, "droppart_orders")
