@@ -427,3 +427,70 @@ def date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(od, "dd-MMM-yyyy").alias("dmy_form"),
         F.to_timestamp(slash, "yyyy/MM/dd").alias("reparsed"),
     ).orderBy("o_orderkey")
+
+
+def _row_fingerprint_sql(nibbles: int = 15) -> str:
+    """60-bit integer from the first 15 md5 nibbles of the canonical
+    row string `s` — identical arithmetic text for both engines."""
+    terms = [
+        f"(CAST(instr('0123456789abcdef', substr(h, {k}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (nibbles - k)})"
+        for k in range(1, nibbles + 1)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "table_checksum_audit",
+    oracle=f"""
+    WITH canon AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+             || CAST(o_custkey AS VARCHAR) || '|'
+             || o_orderstatus || '|'
+             || CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS VARCHAR)
+             || '|' || o_orderpriority || '|'
+             || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS h
+      FROM orders),
+    fp AS (SELECT {{}} AS v FROM canon)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(v AS DECIMAL(38, 0))) AS VARCHAR)
+               AS content_checksum
+    FROM fp
+    """.format(
+        _row_fingerprint_sql().replace("instr(", "strpos(")
+    ),
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum — the cross-system
+    migration validator: every row canonicalizes to a delimited
+    string (doubles pinned to DECIMAL(18,2) text, dates to ISO — the
+    two encodings engines would otherwise render differently), hashes
+    to a 60-bit integer (15 md5 nibbles), and the DECIMAL(38) SUM of
+    those integers is the table's fingerprint. Summation is
+    commutative, so partitioning/order can't change it, and decimal
+    addition is exact, so neither can the combine tree — two systems
+    holding the same rows MUST produce the same checksum, which is
+    precisely what the oracle asserts from the other engine. One scan,
+    one map-side-combined aggregation; at 100 TB this runs per
+    partition for incremental re-validation."""
+    o = Catalog(spark, sf_dir).orders
+    canon = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").cast("string"),
+        )
+    )
+    fp = o.select(canon.alias("h")).select(
+        F.expr(_row_fingerprint_sql()).alias("v")
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_checksum"),
+    )

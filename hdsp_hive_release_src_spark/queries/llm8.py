@@ -504,3 +504,171 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _cross_source_oracle() -> str:
+    from hdsp_hive_release_src_spark.queries.llm import (
+        _DUCK_SH_CAPPED,
+        _DUCK_SHINGLES,
+    )
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+    lab AS (
+      SELECT near.d1, near.d2, da.source AS s1, db.source AS s2
+      FROM near JOIN documents da ON near.d1 = da.doc_id
+                JOIN documents db ON near.d2 = db.doc_id)
+    SELECT least(s1, s2) AS source_a, greatest(s1, s2) AS source_b,
+           count(*) AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+@query("cross_source_dedup_matrix", oracle=_cross_source_oracle())
+def cross_source_dedup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The source-overlap matrix: near-dup pair counts aggregated by
+    (source, source) — the diagnostic that tells a curation team
+    WHICH feeds mirror each other (two crawls of the same site, a
+    dataset republished inside another) before they pay for
+    full dedup between them. Pairs come from the shared capped
+    inverted-index core; the doc→source labeling is two joins against
+    the (doc_id, source) projection, then a symmetric (least,
+    greatest) rollup so A→B and B→A land in one cell. Output is
+    #sources² cells regardless of corpus size."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        MAX_SHINGLE_DF,
+        _parallel_docs,
+        shingle_pair_counts,
+    )
+
+    d = _parallel_docs(spark, sf_dir)
+    pairs = shingle_pair_counts(d, MAX_SHINGLE_DF)
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    near = pairs.where(jac >= 0.5).select("d1", "d2")
+    src = d.select("doc_id", "source")
+    lab = (
+        near.join(
+            src.select(
+                F.col("doc_id").alias("d1"), F.col("source").alias("s1")
+            ),
+            "d1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("d2"), F.col("source").alias("s2")
+            ),
+            "d2",
+        )
+    )
+    return (
+        lab.groupBy(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "phrase_mining_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      FROM documents),
+    uni AS (
+      SELECT unnest(ws) AS w FROM tok),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    utot AS (SELECT sum(c) AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS b
+      FROM tok WHERE len(ws) >= 2),
+    bcnt AS (SELECT b, count(*) AS c FROM bi GROUP BY b),
+    btot AS (SELECT sum(c) AS n FROM bcnt),
+    pmi AS (
+      SELECT bcnt.b AS bigram, bcnt.c AS n_occurrences,
+             round(ln((bcnt.c * 1.0 / btot.n)
+                   / ((u1.c * 1.0 / utot.n) * (u2.c * 1.0 / utot.n))),
+                   4) AS pmi
+      FROM bcnt CROSS JOIN btot CROSS JOIN utot
+      JOIN ucnt u1 ON u1.w = string_split(bcnt.b, ' ')[1]
+      JOIN ucnt u2 ON u2.w = string_split(bcnt.b, ' ')[2]
+      WHERE bcnt.c >= 5)
+    SELECT bigram, CAST(n_occurrences AS BIGINT) AS n_occurrences, pmi
+    FROM pmi
+    ORDER BY pmi DESC, bigram LIMIT 25
+    """,
+)
+def phrase_mining_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: bigrams
+    whose joint frequency beats the independence expectation
+    (log p(ab)/(p(a)p(b))) — how a pipeline discovers multi-word
+    units ("new york", "machine learning") worth treating as single
+    tokens before vocabulary building. Two aggregation passes (unigram
+    and bigram counts), totals broadcast into the scoring join; the
+    df≥5 support floor keeps one-off co-occurrences from dominating
+    (a raw PMI list is all hapax pairs — the floor is the standard
+    fix). The top-25 global rank runs over the tiny scored bigram
+    vocabulary, never the corpus."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(F.expr(_TOKS).alias("ws"))
+    uni = tok.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("un"))
+    bi = tok.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat_ws(' ', element_at(ws, i),"
+                " element_at(ws, i + 1)))"
+            )
+        ).alias("b")
+    )
+    bcnt = bi.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    btot = bcnt.agg(F.sum("bc").alias("bn"))
+    w1 = F.split("b", " ").getItem(0)
+    w2 = F.split("b", " ").getItem(1)
+    scored = (
+        bcnt.where(F.col("bc") >= 5)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(
+            B(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            B(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .join(B(btot))
+        .join(B(utot))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("bc").cast("long").alias("n_occurrences"),
+            F.round(
+                F.log(
+                    (F.col("bc") / F.col("bn"))
+                    / (
+                        (F.col("c1") / F.col("un"))
+                        * (F.col("c2") / F.col("un"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(25)
