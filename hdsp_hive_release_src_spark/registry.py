@@ -66,7 +66,8 @@ _VERIFY_FIRST = (
     "alter_drop_partition", "char_entropy_filter", "mad_outliers",
     "timezone_conversions", "array_exists_forall",
     "quantile_normalize", "dynamic_partition_pruning",
-    "ann_product_quantization",
+    "ann_product_quantization", "cross_source_dedup_matrix",
+    "phrase_mining_pmi", "table_checksum_audit",
     # implementations rewritten this round (distributed exact ntile)
     "window_ntile", "histogram_equi_depth",
     # oracles adjusted this round (LEAST-based file counts)
