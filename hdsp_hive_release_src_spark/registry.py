@@ -45,21 +45,28 @@ _VERIFY_FIRST = (
     # sentinel replaced with a pandas-safe one (r4 err), collect_agg
     # fixed in r2 but never re-sampled since its r1 err
     "scd2_dimension", "collect_agg",
-    # brand new this round
+    # implementations rewritten this round (distributed exact ntile —
+    # their old green rows predate the rewrite)
+    "window_ntile", "histogram_equi_depth",
+    # oracles adjusted this round (LEAST-based file counts)
+    "compact_small_files", "metadata_columns",
+    # brand new this round (44 of the 51 fit the window; the 7 past
+    # the cut are the simplest pure-SQL surfaces, deferred with
+    # gate-replica green rows — see the boundary note below)
     "semantic_dedup", "analyze_column_stats",
     "table_sample_percent_rows", "repetition_score",
     "gopher_quality_rules", "incremental_dedup",
     "dsir_importance_weights", "mv_auto_rewrite",
-    "stream_foreachbatch_upsert", "inline_explode",
-    "like_family", "sql_pivot_unpivot", "named_window_clause",
-    "date_builtins_wave3", "dedup_containment",
+    "stream_foreachbatch_upsert",
+    "sql_pivot_unpivot", "named_window_clause",
+    "dedup_containment",
     "stream_trigger_available_now",
     "percentile_within_group", "sql_session_variables",
-    "parameterized_query", "group_order_by_all",
-    "lateral_column_alias", "number_format_roundtrip",
+    "parameterized_query",
+    "number_format_roundtrip",
     "shortest_path_bfs", "chi_square_independence",
     "benford_distribution", "batch_session_window",
-    "array_funcs_wave3", "string_funcs_wave4", "media_dedup_binary",
+    "media_dedup_binary",
     "zorder_interleave", "sql_table_function",
     "incremental_dedup_minhash",
     "alter_table_evolution", "insert_into_overwrite_semantics",
@@ -68,10 +75,11 @@ _VERIFY_FIRST = (
     "quantile_normalize", "dynamic_partition_pruning",
     "ann_product_quantization", "cross_source_dedup_matrix",
     "phrase_mining_pmi", "table_checksum_audit",
-    # implementations rewritten this round (distributed exact ntile)
-    "window_ntile", "histogram_equi_depth",
-    # oracles adjusted this round (LEAST-based file counts)
-    "compact_small_files", "metadata_columns",
+    # new this round, deferred past the window: trivial deterministic
+    # SQL surfaces with the least to go wrong
+    "inline_explode", "like_family", "date_builtins_wave3",
+    "group_order_by_all", "lateral_column_alias",
+    "array_funcs_wave3", "string_funcs_wave4",
     # the remaining never-driver-checked round-4 additions (all pass
     # the local gate replica; one window converts them to hard green)
     "array_custom_sort", "array_funcs_wave2", "asof_join_forward",
