@@ -672,3 +672,121 @@ def phrase_mining_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "bigram").limit(25)
+
+
+@query(
+    "vocab_coverage_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+          AS w
+      FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rnk
+        FROM cnt) WHERE rnk <= 500),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    cov AS (SELECT sum(c) AS n FROM cnt JOIN vocab USING (w))
+    SELECT CAST(500 AS BIGINT) AS vocab_size,
+           CAST(tot.n AS BIGINT) AS total_tokens,
+           CAST(cov.n AS BIGINT) AS covered_tokens,
+           round(cov.n * 1.0 / tot.n, 6) AS coverage,
+           round(1.0 - cov.n * 1.0 / tot.n, 6) AS oov_rate
+    FROM tot, cov
+    """,
+)
+def vocab_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate audit: what fraction of corpus
+    token OCCURRENCES the top-500 vocabulary covers — the
+    go/no-go check after tokenizer_vocab_build and before committing
+    a vocab size (training with a high OOV rate wastes capacity on
+    <unk>). One token-count aggregation; the vocab is a top-K rank
+    over the token VOCABULARY (not the corpus), ties pinned by token
+    text; coverage is a broadcast semi-join of counts against the
+    500-row vocab. At 100 TB the count table is the only shuffle and
+    it's map-side combined."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(F.explode(F.expr(_TOKS)).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), "w")
+    vocab = (
+        cnt.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 500)
+        .select("w")
+    )
+    tot = cnt.agg(F.sum("c").alias("tn"))
+    cov = cnt.join(B(vocab), "w").agg(F.sum("c").alias("cn"))
+    return (
+        tot.join(B(cov))
+        .select(
+            F.lit(500).cast("long").alias("vocab_size"),
+            F.col("tn").cast("long").alias("total_tokens"),
+            F.col("cn").cast("long").alias("covered_tokens"),
+            F.round(F.col("cn") / F.col("tn"), 6).alias("coverage"),
+            F.round(1.0 - F.col("cn") / F.col("tn"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    st AS (SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM n)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(max(st.mu), 6) AS mean_norm,
+           round(max(st.sd), 6) AS std_norm,
+           CAST(sum(CASE WHEN abs(n.nrm - st.mu) > 3 * st.sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN n.nrm < 1e-6 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero
+    FROM n CROSS JOIN st
+    """,
+)
+def embedding_norm_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-health audit: the L2-norm distribution's 3σ outliers
+    and near-zero vectors — the two signatures of a broken embedding
+    job (truncated inference → zeros; fp overflow / unnormalized
+    mixes → huge norms). Cosine-based downstream ops silently degrade
+    on both, so this gate runs before any ANN/dedup stage. One scan
+    computes norms; the 1-row (μ, σ) aggregate broadcasts back for
+    the outlier count — two passes, no shuffle of the vectors
+    themselves."""
+    e = Catalog(spark, sf_dir).embeddings
+    from hdsp_hive_release_src_spark.functions.vectors import (
+        l2_norm,
+        to_double,
+    )
+
+    n = e.select(
+        "vec_id", l2_norm(to_double("embedding")).alias("nrm")
+    )
+    st = n.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    return (
+        n.join(B(st))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.max("mu"), 6).alias("mean_norm"),
+            F.round(F.max("sd"), 6).alias("std_norm"),
+            F.sum(
+                (F.abs(F.col("nrm") - F.col("mu")) > 3 * F.col("sd"))
+                .cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.sum((F.col("nrm") < 1e-6).cast("int"))
+            .cast("long")
+            .alias("n_zero"),
+        )
+    )
