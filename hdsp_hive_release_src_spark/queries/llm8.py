@@ -790,3 +790,46 @@ def embedding_norm_outliers(
             .alias("n_zero"),
         )
     )
+
+
+@query(
+    "stratified_eval_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                       < 13 THEN 'train'
+                  WHEN strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                       < 14 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~81/6/13 via the first
+    md5 nibble of the doc id: 0-12 train, 13 val, 14-15 test) with a
+    per-language occupancy report — the split every training run
+    freezes BEFORE any filtering so later pipeline changes can never
+    leak eval docs into train (hash-of-id is stable across reruns and
+    engines, unlike rand() or row position). Map-only assignment, one
+    (lang, split) aggregation."""
+    d = Catalog(spark, sf_dir).documents
+    nib = (
+        F.expr(
+            "instr('0123456789abcdef',"
+            " substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
+        )
+    )
+    split = (
+        F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )

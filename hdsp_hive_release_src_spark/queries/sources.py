@@ -448,3 +448,116 @@ def metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sizes_positive"
         ),
     )
+
+
+@query(
+    "csv_options_matrix",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           round(sum(p_retailprice), 2) AS total_price,
+           CAST(sum(CASE WHEN p_name LIKE '%;%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_delim
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def csv_options_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV option surface that breaks real ingests: a custom ';'
+    delimiter, quoting (values CONTAINING the delimiter are injected
+    so the quote path provably exercises), a custom escape char, and
+    nullValue round-tripping. Written and read back with the same
+    option set; parity against the ORIGINAL table proves nothing was
+    split, swallowed, or mis-escaped. The n_with_delim column counts
+    the injected delimiter-bearing names — non-zero by construction,
+    so a quoting failure cannot pass silently."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    p = Catalog(spark, sf_dir).part.withColumn(
+        "p_name",
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(F.col("p_name"), F.lit("; extra")),
+        ).otherwise(F.col("p_name")),
+    )
+    path = scratch_path("csv_options_part", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    opts = {
+        "header": "true",
+        "sep": ";",
+        "quote": '"',
+        "escape": "\\",
+        "nullValue": "\\N",
+    }
+    w = p.write
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.csv(path)
+    spark.catalog.refreshByPath(path)
+    r = spark.read.schema(p.schema)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    back = r.csv(path)
+    return (
+        back.withColumn(
+            "p_name", F.regexp_replace("p_name", "; extra$", "")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.sum(F.col("p_name").contains(";").cast("int"))
+            .cast("long")
+            .alias("n_with_delim"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "parquet_compression_codecs",
+    oracle="""
+    SELECT 'gzip' AS codec, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT 'snappy', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT 'zstd', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey < 3000
+    ORDER BY codec
+    """,
+)
+def parquet_compression_codecs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet compression codec round trips — gzip (max ratio),
+    snappy (the default), zstd (the modern ratio/speed tradeoff each
+    new warehouse standardizes on): each codec writes and reads back
+    content-identically (count + key checksum vs the source). At
+    100 TB codec choice is a double-digit-percent storage/scan-cost
+    decision; what this query pins is that it is ONLY a storage
+    decision — values are bit-identical through every codec."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 3000)
+    frames = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = scratch_path(f"codec_{codec}", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        o.write.option("compression", codec).parquet(path)
+        spark.catalog.refreshByPath(path)
+        back = spark.read.parquet(path)
+        frames.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            ).select(F.lit(codec).alias("codec"), "n", "key_sum")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("codec")
