@@ -175,3 +175,110 @@ def sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_after")
     )
+
+
+@query(
+    "order_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(l.l_shipdate AS DATE)
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lag_days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(min(lag_days) AS BIGINT) AS min_lag,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 2)
+               AS median_lag,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.95), 2)
+               AS p95_lag,
+           CAST(max(lag_days) AS BIGINT) AS max_lag
+    FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority class — the SLA
+    report every fulfillment warehouse runs (does URGENT actually
+    ship faster?): exact median/p95 of (shipdate − orderdate) days.
+    One fact-fact join on orderkey, then per-priority exact
+    percentiles (bounded groups — 5 priorities — so the per-group
+    sort is safe at any SF; unbounded keys would take
+    percentile_approx)."""
+    cat = Catalog(spark, sf_dir)
+    lag = (
+        cat.orders.join(
+            cat.lineitem,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("long").alias("lag_days"),
+        )
+    )
+    lag.createOrReplaceTempView("fulfillment_lag_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(min(lag_days) AS BIGINT) AS min_lag,
+               round(percentile_cont(0.5) WITHIN GROUP
+                     (ORDER BY CAST(lag_days AS DOUBLE)), 2)
+                   AS median_lag,
+               round(percentile_cont(0.95) WITHIN GROUP
+                     (ORDER BY CAST(lag_days AS DOUBLE)), 2)
+                   AS p95_lag,
+               CAST(max(lag_days) AS BIGINT) AS max_lag
+        FROM fulfillment_lag_src
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH share AS (
+      SELECT p.p_type, l.l_suppkey,
+             sum(l.l_extendedprice) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_suppkey),
+    tot AS (SELECT p_type, sum(rev) AS t FROM share GROUP BY p_type)
+    SELECT share.p_type,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((rev / t) * (rev / t)), 6) AS hhi
+    FROM share JOIN tot ON share.p_type = tot.p_type
+    GROUP BY share.p_type ORDER BY share.p_type
+    """,
+)
+def supplier_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier-concentration Herfindahl–Hirschman index per part
+    type: Σ (supplier revenue share)² — the supply-chain-risk metric
+    (1/n for perfectly spread, →1 for a sole supplier; antitrust
+    review uses the same statistic ×10,000). Two aggregations: the
+    (type, supplier) revenue cells, then per-type totals broadcast
+    back for the share squaring — the fact table shuffles once on
+    the composite key."""
+    cat = Catalog(spark, sf_dir)
+    share = (
+        cat.lineitem.join(
+            cat.part, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    tot = share.groupBy("p_type").agg(F.sum("rev").alias("t"))
+    s = F.col("rev") / F.col("t")
+    return (
+        share.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(s * s), 6).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )

@@ -833,3 +833,58 @@ def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "split")
     )
+
+
+def _novelty_oracle() -> str:
+    from hdsp_hive_release_src_spark.queries.llm import _DUCK_SHINGLES
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    df AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+    tagged AS (
+      SELECT sh.doc_id,
+             CASE WHEN df.c = 1 THEN 1 ELSE 0 END AS uniq
+      FROM sh JOIN df ON sh.g = df.g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum(uniq) * 1.0 / count(*), 6) AS novelty
+    FROM tagged GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("ngram_novelty_score", oracle=_novelty_oracle())
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty: the fraction of a document's word-trigrams that
+    appear NOWHERE else in the corpus (df = 1) — high novelty marks
+    genuinely fresh content, near-zero marks boilerplate assembled
+    from corpus-common phrases; as the complement of memorization
+    overlap it's also the cheap proxy for "will this doc add anything
+    the model hasn't seen". Same distinct-shingle index the dedup
+    family builds (df counts are a byproduct of the postings
+    aggregation at scale — one shuffle on the shingle, one on
+    doc_id). Documents with no trigrams (< 3 words) are absent from
+    the output by construction in both engines."""
+    from hdsp_hive_release_src_spark.functions.hashing import (
+        word_shingles,
+    )
+    from hdsp_hive_release_src_spark.queries.llm import _parallel_docs
+
+    d = _parallel_docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text"))).alias("g"),
+    )
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum((F.col("c") == 1).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
