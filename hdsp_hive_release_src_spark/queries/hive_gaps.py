@@ -605,3 +605,123 @@ def inline_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey, measure
         """
     )
+
+
+@query(
+    "database_namespace_ddl",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS db_listed
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def database_namespace_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE DATABASE + qualified-name addressing — the namespace
+    layer every multi-team warehouse organizes by: a table written
+    into a non-default database, addressed as db.table from the
+    default context, the database verified present in SHOW DATABASES
+    (db_listed carries the actual catalog lookup, not a literal).
+    Namespaces are pure metastore metadata — no data-path
+    implications at any scale."""
+    import shutil
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 1000)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ns")
+    spark.sql("DROP TABLE IF EXISTS graft_ns.ns_orders")
+    # DROP in a fresh metastore can't clear a previous session's
+    # leftover location (the db-qualified twin of
+    # fresh_managed_table's default-db case)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    shutil.rmtree(
+        f"{warehouse}/graft_ns.db/ns_orders", ignore_errors=True
+    )
+    o.select("o_orderkey", "o_totalprice").write.saveAsTable(
+        "graft_ns.ns_orders"
+    )
+    listed = any(
+        r.namespace == "graft_ns"
+        for r in spark.sql("SHOW DATABASES").collect()
+    )
+    return (
+        spark.table("graft_ns.ns_orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .select(
+            "n_rows", "key_sum", F.lit(listed).alias("db_listed")
+        )
+    )
+
+
+@query(
+    "table_properties_ddl",
+    oracle="""
+    SELECT 'team' AS prop_key, 'curation' AS prop_value,
+           count(*) AS n_rows
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT 'retention_days', '90', count(*)
+    FROM orders WHERE o_orderkey < 1000
+    ORDER BY prop_key
+    """,
+)
+def table_properties_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE SET TBLPROPERTIES + SHOW TBLPROPERTIES — the
+    metadata channel ownership/retention/lineage tooling reads
+    (properties travel with the table through the metastore, not in a
+    side spreadsheet). The returned rows carry the properties READ
+    BACK from the catalog joined with the table's live row count, so
+    a property that failed to persist breaks parity."""
+    from hdsp_hive_release_src_spark.sources.io import (
+        fresh_managed_table,
+    )
+
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 1000)
+    fresh_managed_table(spark, "props_orders")
+    o.select("o_orderkey").write.saveAsTable("props_orders")
+    spark.sql(
+        "ALTER TABLE props_orders SET TBLPROPERTIES "
+        "('team' = 'curation', 'retention_days' = '90')"
+    )
+    props = {
+        r.key: r.value
+        for r in spark.sql(
+            "SHOW TBLPROPERTIES props_orders"
+        ).collect()
+        if r.key in ("team", "retention_days")
+    }
+    n = spark.table("props_orders").count()
+    return spark.createDataFrame(
+        sorted((k, v, n) for k, v in props.items()),
+        "prop_key string, prop_value string, n_rows long",
+    )
+
+
+@query(
+    "global_temp_view",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def global_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL temporary views — the cross-session sharing tier between
+    session-local temp views and catalog tables: registered once,
+    addressable as global_temp.<name> from ANY session of the
+    application (a second session is spun via newSession() and reads
+    the view to prove the cross-session contract; a session-local
+    view would be invisible there)."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 2000)
+    o.createOrReplaceGlobalTempView("gtv_orders")
+    other = spark.newSession()
+    return (
+        other.table("global_temp.gtv_orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
