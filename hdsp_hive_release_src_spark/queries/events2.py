@@ -277,3 +277,66 @@ def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+@query(
+    "watermark_lateness_profile",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(ts AS TIMESTAMP)) OVER
+               (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_water
+      FROM events),
+    late AS (
+      SELECT CAST((epoch_us(high_water) - epoch_us(ts)) / 1000000.0
+                  AS DOUBLE) AS lateness_s
+      FROM arr)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_order,
+           round(max(lateness_s), 2) AS max_lateness_s,
+           round(quantile_cont(lateness_s, 0.99), 2) AS p99_lateness_s
+    FROM late
+    """,
+)
+def watermark_lateness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-orderness profile — the measurement that SETS a
+    watermark delay instead of guessing it: replaying events in
+    arrival order (event_id), each event's lateness is how far it
+    trails the running event-time high-water mark; the p99/max tell
+    you what `withWatermark` delay keeps (almost) everything while
+    bounding state. The running max is a single ordered pass in
+    arrival order — in production this profile is computed per
+    partition/source (arrival order only exists per partition), here
+    globally so the oracle can replay it exactly."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    arr = ev.select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late = arr.select(
+        (
+            (
+                F.unix_micros("high_water") - F.unix_micros("ts")
+            )
+            / 1e6
+        ).alias("lateness_s")
+    )
+    late.createOrReplaceTempView("lateness_src")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_out_of_order,
+               round(max(lateness_s), 2) AS max_lateness_s,
+               round(percentile_cont(0.99) WITHIN GROUP
+                     (ORDER BY lateness_s), 2) AS p99_lateness_s
+        FROM lateness_src
+        """
+    )

@@ -561,3 +561,49 @@ def parquet_compression_codecs(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("codec")
+
+
+@query(
+    "unicode_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           length(text || ' — häßlich ✓ 北京 🚀') AS n_chars,
+           octet_length(encode(text || ' — häßlich ✓ 北京 🚀'))
+               AS n_bytes,
+           md5(text || ' — häßlich ✓ 北京 🚀') AS digest
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def unicode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 integrity through a JSON write/read round trip: every doc
+    gets a multibyte suffix (Latin-1 supplement, dingbat, CJK, and a
+    4-byte emoji — one of each UTF-8 width class), round-trips
+    through the JSON-lines sink, and must come back with identical
+    CHARACTER length, BYTE length, and md5 — the three ways encoding
+    corruption (mojibake, truncation, surrogate mangling) shows up.
+    char length ≠ byte length by construction here, so an engine
+    conflating them cannot pass."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+
+    d = Catalog(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    tagged = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" — häßlich ✓ 北京 🚀")).alias(
+            "text"
+        ),
+    )
+    path = scratch_path("unicode_docs", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    tagged.write.json(path)
+    spark.catalog.refreshByPath(path)
+    back = spark.read.schema("doc_id long, text string").json(path)
+    return back.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias(
+            "n_bytes"
+        ),
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+    ).orderBy("doc_id")
