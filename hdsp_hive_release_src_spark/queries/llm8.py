@@ -888,3 +888,71 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    from hdsp_hive_release_src_spark.queries.llm import (
+        _DUCK_SH_CAPPED,
+        _DUCK_SHINGLES,
+    )
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT inter * 1.0 / (s1.n + s2.n - inter) AS j
+      FROM pairs JOIN sz s1 ON d1 = s1.doc_id
+                 JOIN sz s2 ON d2 = s2.doc_id)
+    SELECT CAST(b AS DOUBLE) / 10 AS threshold,
+           CAST(sum(CASE WHEN j >= b * 1.0 / 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs_at_or_above
+    FROM jac CROSS JOIN range(1, 10) t(b)
+    GROUP BY b ORDER BY threshold
+    """
+
+
+@query("dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold-sensitivity sweep: candidate-pair counts at
+    every τ from 0.1 to 0.9 IN ONE PASS over the pair set — the curve
+    a curation team reads to pick τ (a cliff between two thresholds
+    marks the near-dup/unrelated similarity gap; a smooth slope means
+    no safe cutoff exists and pairwise dedup needs a different
+    signal). Costs exactly one extra 9-way conditional aggregation on
+    top of the pair generation every dedup run already does — the
+    reason to sweep inline instead of re-running dedup per τ."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        MAX_SHINGLE_DF,
+        _parallel_docs,
+        shingle_pair_counts,
+    )
+
+    pairs = shingle_pair_counts(
+        _parallel_docs(spark, sf_dir), MAX_SHINGLE_DF
+    )
+    jac = (
+        F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    ).alias("j")
+    j = pairs.select(jac)
+    return (
+        j.crossJoin(
+            spark.range(1, 10).select(F.col("id").alias("b"))
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(
+                (F.col("j") >= F.col("b") / 10.0).cast("int")
+            )
+            .cast("long")
+            .alias("n_pairs_at_or_above")
+        )
+        .select(
+            (F.col("b").cast("double") / 10).alias("threshold"),
+            "n_pairs_at_or_above",
+        )
+        .orderBy("threshold")
+    )
