@@ -29,10 +29,15 @@ vs the naive global window: 3 parallel scans instead of 1 scan + a
 single-machine sort of the full table. At 100 TB the naive form does
 not complete; this form's critical path is one bounded-partition sort.
 
-Caveats: ``value_col`` must be non-null (null ordering vs the 0-count
-range assignment would disagree); a single value occupying >1/n_ranges
-of the table makes one range fat (the partitions are still spillable —
-correctness holds, balance degrades; raise n_ranges or pre-dedup).
+Null handling (r6: the caveat is now a guarantee): NULL values get
+their own dedicated range — before every value range ascending
+(Spark ``asc`` = NULLS FIRST), after every range descending
+(``desc`` = NULLS LAST) — so the global order matches the window
+ntile's exactly, nulls included; within the null range the tiebreak
+columns order as usual. Remaining caveat: a single value occupying
+>1/n_ranges of the table makes one range fat (the partitions are
+still spillable — correctness holds, balance degrades; raise
+n_ranges or pre-dedup).
 """
 
 from __future__ import annotations
@@ -63,11 +68,20 @@ def with_global_rank(
     bounds = [float(b) for b in (brow[0].bs or [])]
     arr = F.array(*[F.lit(b) for b in bounds]) if bounds else F.array()
     v = F.col(value_col).cast("double")
+    # Nulls get a dedicated range matching Spark's null ordering:
+    # asc → NULLS FIRST (range -1, before every boundary range),
+    # desc → NULLS LAST (range n_ranges, after every boundary range).
+    # percentile_approx already ignores nulls, so boundaries are
+    # computed over non-null values either way.
     if descending:
-        rid_expr: Column = F.size(F.filter(arr, lambda b: b > v))
+        rid_expr: Column = F.when(
+            v.isNull(), F.lit(n_ranges)
+        ).otherwise(F.size(F.filter(arr, lambda b: b > v)))
         order = [F.desc(value_col)] + [F.asc(c) for c in tiebreak_cols]
     else:
-        rid_expr = F.size(F.filter(arr, lambda b: b < v))
+        rid_expr = F.when(v.isNull(), F.lit(-1)).otherwise(
+            F.size(F.filter(arr, lambda b: b < v))
+        )
         order = [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols]
     withrid = df.withColumn("__rid", rid_expr)
     counts = {

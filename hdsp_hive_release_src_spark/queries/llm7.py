@@ -29,6 +29,13 @@ from hdsp_hive_release_src_spark.registry import query
 
 B = F.broadcast
 
+# Max members per blocking cell before the cell is dropped from the
+# pair join (pair work per cell is size², so one degenerate cluster —
+# all-zero vectors, a constant-embedding bug upstream — could
+# otherwise dominate the whole stage). 20× the by-construction
+# expected cell size of 50; replayed verbatim in the DuckDB oracle.
+SEMANTIC_MAX_CELL = 1000
+
 # IVF-style deterministic blocking, multi-probe: every vector lands in
 # its 2 nearest cells of the every-25th-vector codebook (the same
 # rand()-free codebook as ann_ivf_topk). DuckDB replays the identical
@@ -50,9 +57,13 @@ _DUCK_BLOCKED = """
                    DESC, cent.cid) AS rn
         FROM n CROSS JOIN cent)
       WHERE rn <= 2),
-    m AS (
+    m0 AS (
       SELECT a.cid, a.vec_id, n.v, n.nrm
-      FROM assigned a JOIN n ON n.vec_id = a.vec_id)
+      FROM assigned a JOIN n ON n.vec_id = a.vec_id),
+    m AS (
+      SELECT cid, vec_id, v, nrm FROM (
+        SELECT *, count(*) OVER (PARTITION BY cid) AS csz FROM m0)
+      WHERE csz <= 1000)
 """
 
 
@@ -122,7 +133,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     assigned.write.parquet(path)
     spark.catalog.refreshByPath(path)
-    cells = spark.read.parquet(path)
+    # Cell-size cap (same design as the dedup band/df caps): a
+    # spillable no-orderBy Window count drops any pathological cell
+    # whose (size)² pair work would go quadratic — a degenerate
+    # embedding cluster (e.g. a sea of zero vectors) cannot take the
+    # join down with it. E[cell] = 50 by construction (2 probes,
+    # every-25th codebook) at ANY corpus size, so the 1000 cap is 20×
+    # headroom that never fires on healthy data (asserted in tests);
+    # the oracle replays the identical cap, so parity checks the
+    # documented recall contract, not luck.
+    w_cell = Window.partitionBy("cid")
+    cells = (
+        spark.read.parquet(path)
+        .withColumn("_csz", F.count(F.lit(1)).over(w_cell))
+        .where(F.col("_csz") <= SEMANTIC_MAX_CELL)
+        .drop("_csz")
+    )
     a = cells.alias("a")
     b = cells.alias("b")
     cos = F.round(

@@ -224,7 +224,16 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dsir_oracle() -> str:
     """DSIR hashed-unigram importance weights, replayed exactly: token
     → md5-derived bucket in [0, 64), target = English docs, source =
-    whole corpus, add-one smoothed log-ratio summed per doc."""
+    whole corpus, add-one smoothed log-ratio summed per doc.
+
+    Cross-engine determinism (the r5 driver hash-flip fix): the
+    per-token float sum is replaced by (1) exact integer (doc, bucket)
+    counts, (2) the 64 bucket log-ratios quantized to 6 decimals (a
+    1-ulp ``ln`` divergence between libm implementations cannot
+    survive the quantization), (3) a per-doc fold over the
+    bucket-sorted term list — identical doubles added in identical
+    order are bit-identical in IEEE arithmetic, so ``round(_, 4)``
+    can no longer straddle a boundary differently per engine."""
     bucket = (
         "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1"
         " AS BIGINT) * 4"
@@ -244,12 +253,18 @@ def _dsir_oracle() -> str:
                    (SELECT sum(c) FROM src) AS sn),
     ratio AS (
       SELECT s.b,
-             ln(((coalesce(t.c, 0) + 1.0) / (tot.tn + 64))
-                / ((s.c + 1.0) / (tot.sn + 64))) AS lr
-      FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot)
-    SELECT bk.doc_id, round(sum(r.lr), 4) AS dsir_logweight
-    FROM bk JOIN ratio r ON bk.b = r.b
-    GROUP BY bk.doc_id ORDER BY bk.doc_id
+             round(ln(((coalesce(t.c, 0) + 1.0) / (tot.tn + 64))
+                      / ((s.c + 1.0) / (tot.sn + 64))), 6) AS lr
+      FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot),
+    cnt AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY 1, 2)
+    SELECT cnt.doc_id,
+           CAST(sum(cnt.n) AS BIGINT) AS n_tokens,
+           round(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list(cnt.n * r.lr ORDER BY cnt.b)),
+                 (acc, x) -> acc + x), 4) AS dsir_logweight
+    FROM cnt JOIN ratio r ON cnt.b = r.b
+    GROUP BY cnt.doc_id ORDER BY cnt.doc_id
     """
 
 
@@ -267,7 +282,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned twice (model build, scoring) and never shuffled on doc
     tokens. Bucket hashing caps model memory at O(64) regardless of
     vocabulary size — the reason DSIR scales where an exact-vocab LM
-    does not."""
+    does not.
+
+    Determinism (the r6 fix for the one red r5 driver row): exact
+    (doc, bucket) integer counts → bucket log-ratios quantized to 6
+    decimals (a 1-ulp libm ``ln`` divergence cannot survive the
+    quantization) → per-doc weight as a bucket-sorted left fold with
+    a 0.0 seed, mirrored term-for-term in the DuckDB twin — identical
+    doubles added in identical order are bit-identical, so the final
+    ``round(_, 4)`` agrees across engines by construction."""
     d = Catalog(spark, sf_dir).documents
     tok = d.select(
         "doc_id",
@@ -301,17 +324,37 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(B(src_n))
         .select(
             "b",
-            F.log(
-                ((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                 / (F.col("tn") + 64))
-                / ((F.col("sc") + 1.0) / (F.col("sn") + 64))
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                     / (F.col("tn") + 64))
+                    / ((F.col("sc") + 1.0) / (F.col("sn") + 64))
+                ),
+                6,
             ).alias("lr"),
         )
     )
+    cnt = bk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     return (
-        bk.join(B(ratio), "b")
+        cnt.join(B(ratio), "b")
+        .select(
+            "doc_id",
+            "n",
+            F.struct(F.col("b"), (F.col("n") * F.col("lr")).alias("term"))
+            .alias("bt"),
+        )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("lr"), 4).alias("dsir_logweight"))
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("bt")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                4,
+            ).alias("dsir_logweight"),
+        )
         .orderBy("doc_id")
     )
 

@@ -444,9 +444,17 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (now - age, now - age))
 
     def upsert(bdf: DataFrame, batch_id: int) -> None:
+        # State accumulates total_value as exact integer CENTS (value
+        # is 2dp by contract): batch partial sums b1+b2+b3 then add in
+        # a different float order than the oracle's single sum(value),
+        # the documented rounding-boundary parity trap — integer
+        # accumulation is order-free; only the final projection
+        # converts back to currency and rounds.
         inc = bdf.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value"
+            ),
             F.max("ts").alias("last_ts"),
         )
         if os.path.exists(state):
@@ -466,8 +474,10 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.coalesce("n_events", F.lit(0))
                     ).alias("n_events"),
                     (
-                        F.coalesce("t0", F.lit(0.0))
-                        + F.coalesce("total_value", F.lit(0.0))
+                        F.coalesce(F.col("t0"), F.lit(0).cast("long"))
+                        + F.coalesce(
+                            F.col("total_value"), F.lit(0).cast("long")
+                        )
                     ).alias("total_value"),
                     F.greatest(
                         F.coalesce("l0", "last_ts"),
@@ -500,7 +510,7 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "user_id",
         "n_events",
-        F.round("total_value", 2).alias("total_value"),
+        F.round(F.col("total_value") / 100.0, 2).alias("total_value"),
         "last_ts",
     ).orderBy("user_id")
 
