@@ -160,6 +160,7 @@ def load_all() -> None:
         hive_gaps,
         olap_surface,
         udf_surface,
+        catalog_surface,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

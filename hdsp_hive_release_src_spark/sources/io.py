@@ -69,8 +69,14 @@ def try_ext_connector(spark: SparkSession, fmt: str):
     ``format("avro")`` raises 'Failed to find data source'. With the
     org.apache.spark:spark-avro package on the classpath the standard
     ``.write.format("avro")`` / ``.read.format("avro")`` round-trip
-    works unchanged."""
-    known = {"delta", "iceberg", "hudi", "jdbc", "avro"}
+    works unchanged. Kafka likewise: the Structured Streaming source a
+    production deployment reads (``readStream.format("kafka")``) lives
+    in the external spark-sql-kafka-0-10 module — probed at round 6,
+    not on this classpath; with the package added, the standard
+    subscribe/startingOffsets options apply and every watermark/
+    stateful operator in streaming/jobs.py composes unchanged (they
+    are source-agnostic past the DataFrame boundary)."""
+    known = {"delta", "iceberg", "hudi", "jdbc", "avro", "kafka"}
     if fmt in known:
         raise NotImplementedError(
             f"connector {fmt!r} requires external jars not bundled here; "

@@ -39,6 +39,8 @@ def test_ext_connector_stub():
         try_ext_connector(None, "delta")
     with pytest.raises(NotImplementedError, match="avro"):
         try_ext_connector(None, "avro")
+    with pytest.raises(NotImplementedError, match="kafka"):
+        try_ext_connector(None, "kafka")
     with pytest.raises(ValueError):
         try_ext_connector(None, "avro-ish-nonsense")
 
@@ -52,6 +54,23 @@ def test_avro_datasource_really_absent(spark):
     with pytest.raises(AnalysisException, match="avro"):
         spark.range(1).write.mode("overwrite").format("avro").save(
             "/root/repo/_scratch/avro_probe"
+        )
+
+
+def test_kafka_source_really_absent(spark):
+    """Same promotion sentinel for the Kafka streaming source: if this
+    test fails, spark-sql-kafka-0-10 has appeared on the classpath and
+    a kafka readStream round-trip should be promoted to a real query
+    (the stateful operators in streaming/jobs.py are source-agnostic,
+    so only the read boundary changes)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="(?i)kafka"):
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "probe")
+            .load()
         )
 
 
