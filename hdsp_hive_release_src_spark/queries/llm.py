@@ -280,6 +280,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_exact(spark, sf_dir)
 
 
+def lsh_banded(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) band-bucket membership for the MinHash LSH
+    pair generator: shingles -> 64-hash signature -> 16×4 band hashes
+    composed as ONE nested-bound expression (each stage evaluated
+    exactly once per row). Exposed for the cap-headroom observability
+    test (tests/test_band_cap_headroom.py): bucket occupancy vs
+    MAX_BAND_BUCKET is measured on the same frame the query groups."""
+    bands_expr = band_hashes_sql(
+        minhash_sql(word_shingles_sql("text"), 64), bands=16, rows=4
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(F.expr(bands_expr)).alias("band", "bh"),
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_JACCARD_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 banded LSH candidates, exact-Jaccard verified.
@@ -294,15 +310,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", word_shingles("text").alias("sh")).where(
         F.size("sh") > 0
     )
-    # shingles -> signature -> band hashes composed as ONE nested-bound
-    # expression: each stage evaluated exactly once per row
-    bands_expr = band_hashes_sql(
-        minhash_sql(word_shingles_sql("text"), 64), bands=16, rows=4
-    )
-    banded = d.select(
-        "doc_id",
-        F.posexplode(F.expr(bands_expr)).alias("band", "bh"),
-    )
+    banded = lsh_banded(d)
     # sorted bucket postings + posexplode/slice instead of a band
     # self-join: the join would run the 64-hash signature pipeline once
     # per side (same rework as jaccard/simhash pair generation). The
@@ -389,16 +397,11 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle_sql())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (hamming ≤ 8), banded 4×16 bits.
-
-    Bit votes aggregate in one pass over exploded tokens (64 CASE
-    sums); pairs come from band buckets and are verified with exact
-    bit_count(xor) — scale cost O(docs) + O(bucket pairs). Token bits
-    are md5 nibbles so the oracle reproduces them exactly (xxhash64 is
-    the cheaper production swap-in)."""
-    d = _parallel_docs(spark, sf_dir)
+def simhash_banded(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bh) band-bucket membership for the
+    SimHash pair generator (4×16-bit bands over the 64-bit signature).
+    Exposed for the cap-headroom observability test alongside
+    ``lsh_banded`` — see MAX_BAND_BUCKET's comment."""
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).where(F.col("t") != "")
@@ -450,6 +453,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    return banded
+
+
+@query("dedup_simhash", oracle=_simhash_oracle_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming ≤ 8), banded 4×16 bits.
+
+    Bit votes aggregate in one pass over exploded tokens (64 CASE
+    sums); pairs come from band buckets and are verified with exact
+    bit_count(xor) — scale cost O(docs) + O(bucket pairs). Token bits
+    are md5 nibbles so the oracle reproduces them exactly (xxhash64 is
+    the cheaper production swap-in)."""
+    banded = simhash_banded(_parallel_docs(spark, sf_dir))
     # sorted postings per (band, bucket) + posexplode/slice — the band
     # self-join would execute the whole 64-aggregate simhash pipeline
     # once PER SIDE; grouping once halves the dominant cost, and the

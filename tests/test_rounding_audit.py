@@ -1,0 +1,63 @@
+"""Guard for the round-over-float audit (tools/audit_rounding.py).
+
+The committed tools/ROUNDING_AUDIT.json is the evidence that every
+float-class round() site survived the order fuzz (two materially
+different partitionings -> identical canonical output) at the
+driver's sf0.01. This test re-derives the static inventory and fails
+if a query grew a NEW float-class round site that the committed audit
+has not fuzzed — the fragile class cannot silently expand."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+AUDIT = Path(__file__).resolve().parent.parent / "tools" / (
+    "ROUNDING_AUDIT.json"
+)
+
+
+def test_float_round_sites_all_audited():
+    from tools.audit_rounding import static_inventory
+
+    committed = json.loads(AUDIT.read_text())
+    inv = static_inventory()
+    current_float = {
+        n for n, d in inv.items() if d["query_class"] == "float"
+    }
+    audited = {
+        n
+        for n, d in committed["inventory"].items()
+        if d.get("fuzz") == "stable"
+    }
+    missing = sorted(current_float - audited)
+    assert not missing, (
+        f"float-class round() sites without a committed stable fuzz "
+        f"run: {missing} — run tools/audit_rounding.py and commit the "
+        f"refreshed ROUNDING_AUDIT.json"
+    )
+
+
+def test_grid_columns_still_on_grid(duck):
+    """The 'grid' classification is only sound while every money
+    column is an exact 2-decimal value; re-verify on the test data."""
+    for t, c in [
+        ("lineitem", "l_extendedprice"), ("lineitem", "l_quantity"),
+        ("lineitem", "l_discount"), ("lineitem", "l_tax"),
+        ("orders", "o_totalprice"), ("customer", "c_acctbal"),
+        ("part", "p_retailprice"), ("events", "value"),
+    ]:
+        off = duck.execute(
+            f"SELECT count(*) FROM {t} WHERE {c} != round({c}, 2)"
+        ).fetchone()[0]
+        assert off == 0, f"{t}.{c} drifted off the 2dp grid"
+
+
+def test_fuzz_results_contain_no_failures():
+    committed = json.loads(AUDIT.read_text())
+    bad = {
+        n: d["fuzz"]
+        for n, d in committed["inventory"].items()
+        if "fuzz" in d and d["fuzz"] != "stable"
+    }
+    assert not bad, f"committed audit contains failures: {bad}"

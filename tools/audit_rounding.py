@@ -1,0 +1,251 @@
+"""Round-over-float-accumulation audit (the r5 → r6 sweep).
+
+The one red driver row in round 5 (`dsir_importance_weights`) was a
+``round(sum(<float>), 4)`` whose pre-round value sat within
+accumulation-order noise of a rounding boundary — Spark's partial-agg
+order differs run to run and engine to engine, so the same data can
+round differently. This tool sweeps EVERY oracle for ``round(...)``
+sites and classifies each:
+
+- ``grid``: round over sums/values of cent-grid columns (all money
+  columns in the testdata are exact 2-decimal values — verified here,
+  not assumed). The sum is within float-noise of a grid point, which
+  is 0.005 from the nearest rounding boundary: ~1e9× the worst
+  plausible accumulation error. Safe by construction.
+- ``int``: round over integer-only arithmetic. Exact. Safe.
+- ``float``: round over products / ratios / logs / averages — the
+  value can sit anywhere relative to the boundary grid. These queries
+  get the ORDER FUZZ: run the Spark impl under materially different
+  partitioning (shuffle partitions 3 vs 32, tiny vs default input
+  splits → different partial-aggregation trees), canonicalize the way
+  the gate does, and require identical output. This exercises exactly
+  the variance that flipped dsir (the driver's session partitions
+  differently than the local replica).
+
+Float-class queries must either pass the fuzz or be restructured
+(deterministic fold / exact arithmetic / tolerance oracle — see
+llm8.py's dsir fix for the pattern). Results land in
+``tools/ROUNDING_AUDIT.json``; tests/test_rounding_audit.py fails if
+a new float-class round site appears that is not in the committed
+audit, so the class cannot silently grow.
+
+Usage::
+
+    PYTHONPATH=/root/repo python tools/audit_rounding.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# verified 2-decimal-grid columns (see the audit docstring; re-checked
+# against the parquet below before classifying anything as grid)
+GRID_COLS = (
+    "l_extendedprice l_quantity l_discount l_tax o_totalprice "
+    "c_acctbal p_retailprice value total_value price"
+).split()
+
+_FLOAT_TOKENS = (
+    "*", "/", "avg(", "ln(", "log(", "exp(", "sqrt(", "percentile",
+    "median", "stddev", "var_", "variance", "corr(", "covar",
+    "regr_", "power(", "pow(", "kurtosis", "skewness", "atan",
+    "radians", "list_reduce",
+)
+
+
+def round_sites(sql: str) -> list[str]:
+    """Inner expressions of every round(...) call, balanced-paren."""
+    out = []
+    low = sql.lower()
+    i = 0
+    while True:
+        j = low.find("round(", i)
+        if j < 0:
+            break
+        # skip identifiers ending in 'round(' (none today, be safe)
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            i = j + 6
+            continue
+        depth, k = 1, j + 6
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(" ".join(sql[j + 6 : k - 1].split()))
+        i = k
+    return out
+
+
+def classify(expr: str) -> str:
+    low = expr.lower()
+    # strip the digits argument (last top-level comma)
+    depth = 0
+    cut = len(low)
+    for idx in range(len(low) - 1, -1, -1):
+        ch = low[idx]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cut = idx
+            break
+    body = low[:cut]
+    if any(tok in body for tok in _FLOAT_TOKENS):
+        # products of grid values scaled straight to integers are exact
+        if re.fullmatch(
+            r"\s*(cast\s*\()?\s*\w+(\.\w+)?\s*\*\s*100\s*\)?\s*", body
+        ):
+            return "int"
+        return "float"
+    inner = re.fullmatch(
+        r"\s*(sum|min|max|coalesce|first|last|any_value)?\s*\(?"
+        r"\s*(distinct\s+)?([a-z0-9_.]+)\s*\)?\s*",
+        body,
+    )
+    if inner and inner.group(3):
+        col = inner.group(3).split(".")[-1]
+        if col in GRID_COLS:
+            return "grid"
+    if re.search(r"count\(|sum\(", body) and not any(
+        c in body for c in GRID_COLS
+    ):
+        # sums of integer expressions (CASE WHEN ... 1 ... etc.)
+        if not re.search(r"\d+\.\d", body):
+            return "int"
+    # bare grid column / simple additive forms over grid columns
+    toks = re.findall(r"[a-z_][a-z0-9_]*", body)
+    if toks and all(
+        t in GRID_COLS
+        or t in {"sum", "min", "max", "case", "when", "then", "else",
+                 "end", "null", "coalesce", "over", "partition", "by",
+                 "order", "rows", "between", "preceding", "following",
+                 "current", "row", "and", "unbounded", "w", "distinct",
+                 "filter", "where", "is", "not"}
+        for t in toks
+    ):
+        return "grid"
+    return "float"
+
+
+def verify_grid_cols(sf_dir: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    table_cols = {
+        "lineitem": ["l_extendedprice", "l_quantity", "l_discount",
+                     "l_tax"],
+        "orders": ["o_totalprice"],
+        "customer": ["c_acctbal"],
+        "part": ["p_retailprice"],
+        "events": ["value"],
+    }
+    for t, cols in table_cols.items():
+        for c in cols:
+            off = con.sql(
+                f"SELECT count(*) FROM '{sf_dir}/{t}.parquet' "
+                f"WHERE {c} != round({c}, 2)"
+            ).fetchone()[0]
+            assert off == 0, f"{t}.{c} is not on the 2dp grid"
+
+
+def static_inventory() -> dict[str, dict]:
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    inv: dict[str, dict] = {}
+    for name, sql in registry.ORACLES.items():
+        sites = round_sites(sql)
+        if not sites:
+            continue
+        classes = [classify(s) for s in sites]
+        inv[name] = {
+            "sites": [
+                {"expr": s[:160], "class": c}
+                for s, c in zip(sites, classes)
+            ],
+            "query_class": (
+                "float" if "float" in classes else
+                "int" if set(classes) == {"int"} else "grid"
+            ),
+        }
+    return inv
+
+
+def order_fuzz(names: list[str], sf_dir: str) -> dict[str, str]:
+    """Run each query under two materially different partitionings and
+    require canonically identical output."""
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    qs = e.queries()
+    spark = None
+    results: dict[str, str] = {}
+    variants = [
+        {"spark.sql.shuffle.partitions": "3",
+         "spark.sql.files.maxPartitionBytes": "262144"},
+        {"spark.sql.shuffle.partitions": "32",
+         "spark.sql.files.maxPartitionBytes": "134217728"},
+    ]
+    from hdsp_hive_release_src_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    for name in names:
+        outs = []
+        try:
+            for v in variants:
+                for k, val in v.items():
+                    spark.conf.set(k, val)
+                df = qs[name](spark, sf_dir)
+                outs.append(canon([tuple(r) for r in df.collect()],
+                                  df.columns))
+            results[name] = (
+                "stable" if outs[0] == outs[1] else "UNSTABLE"
+            )
+        except Exception as ex:  # noqa: BLE001 - recorded, not fatal
+            results[name] = f"error: {str(ex)[:200]}"
+        finally:
+            for k in ("spark.sql.shuffle.partitions",
+                      "spark.sql.files.maxPartitionBytes"):
+                spark.conf.unset(k)
+        print(f"  fuzz {name}: {results[name]}", file=sys.stderr)
+    return results
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    verify_grid_cols(sf_dir)
+    inv = static_inventory()
+    float_qs = sorted(
+        n for n, d in inv.items() if d["query_class"] == "float"
+    )
+    print(
+        f"{len(inv)} queries with round() sites; "
+        f"{len(float_qs)} float-class to fuzz", file=sys.stderr,
+    )
+    fuzz = order_fuzz(float_qs, sf_dir)
+    for n, r in fuzz.items():
+        inv[n]["fuzz"] = r
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries_with_round": len(inv),
+        "float_class": float_qs,
+        "inventory": inv,
+    }
+    path = REPO / "tools" / "ROUNDING_AUDIT.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=True))
+    bad = [n for n, r in fuzz.items() if r != "stable"]
+    print(f"wrote {path}; unstable/error: {bad}", file=sys.stderr)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
