@@ -48,16 +48,15 @@ def main() -> None:
     from hdsp_hive_release_src_spark.session import get_spark
 
     registry.load_all()
+    # bench runs use the 12g-floor heap sizing (a loaded box's halved
+    # MemAvailable would otherwise reintroduce GC-pause noise); an
+    # explicit SPARK_GRAFT_DRIVER_MEM still wins
+    from hdsp_hive_release_src_spark.session import bench_driver_mem
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", bench_driver_mem())
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # heap is sized from host MemAvailable (session.py) — surface the
-    # value so a loaded box's degraded timings are explainable from
-    # the bench record instead of silently machine-dependent
-    print(
-        f"# spark.driver.memory="
-        f"{spark.conf.get('spark.driver.memory', 'default')}",
-        file=sys.stderr,
-    )
+    driver_mem = spark.conf.get("spark.driver.memory", "default")
 
     # Warm-up: run every headliner once at the smallest SF first. This
     # compiles each query's whole-stage-codegen classes (Janino) and
@@ -97,6 +96,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # resolved heap recorded IN the bench record (not just stderr)
+        # so machine-state-dependent timings are explainable per round
+        "driver_memory": driver_mem,
     }
     t_start = globals().get("_T0", time.time())
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
@@ -130,15 +132,27 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
 
     from tools.make_stress import build
 
+    src = "/root/testdata/sf0.1"
+    # cache key = fingerprint of the SOURCE parquet files: the round-4
+    # ts-type flip showed testdata layout can change between rounds,
+    # and a stale replica then benches the wrong data (or fails in
+    # ways that only surface as stress_error)
+    fingerprint = json.dumps(
+        sorted(
+            (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+            for p in Path(src).glob("*.parquet")
+        )
+    )
     dst = str(Path(__file__).resolve().parent / "_scratch" / "stress10x")
     complete = Path(dst, "_COMPLETE")
+    cached = complete.read_text() if complete.exists() else None
     elapsed = time.time() - t_start
-    if not complete.exists():
+    if cached != fingerprint:
         if elapsed > budget * 0.4:
             return {"skipped": f"budget spent ({elapsed:.0f}s elapsed)"}
         shutil.rmtree(dst, ignore_errors=True)
-        build("/root/testdata/sf0.1", dst, 10)
-        complete.touch()
+        build(src, dst, 10)
+        complete.write_text(fingerprint)
     timings: dict[str, float] = {}
     for name in STRESS_QUERIES:
         if time.time() - t_start > budget:

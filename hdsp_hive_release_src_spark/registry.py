@@ -41,47 +41,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # the two red/stale driver rows, both fixed: scd2's far-future
-    # sentinel replaced with a pandas-safe one (r4 err), collect_agg
-    # fixed in r2 but never re-sampled since its r1 err
-    "scd2_dimension", "collect_agg",
-    # implementations rewritten this round (distributed exact ntile —
-    # their old green rows predate the rewrite)
-    "window_ntile", "histogram_equi_depth",
-    # oracles adjusted this round (LEAST-based file counts)
-    "compact_small_files", "metadata_columns",
-    # brand new this round (44 of the 51 fit the window; the 7 past
-    # the cut are the simplest pure-SQL surfaces, deferred with
-    # gate-replica green rows — see the boundary note below)
-    "semantic_dedup", "analyze_column_stats",
-    "table_sample_percent_rows", "repetition_score",
-    "gopher_quality_rules", "incremental_dedup",
-    "dsir_importance_weights", "mv_auto_rewrite",
-    "stream_foreachbatch_upsert",
-    "sql_pivot_unpivot", "named_window_clause",
-    "dedup_containment",
-    "stream_trigger_available_now",
-    "percentile_within_group", "sql_session_variables",
-    "parameterized_query",
-    "number_format_roundtrip",
-    "shortest_path_bfs", "chi_square_independence",
-    "benford_distribution", "batch_session_window",
-    "media_dedup_binary",
-    "zorder_interleave", "sql_table_function",
-    "incremental_dedup_minhash",
-    "alter_table_evolution", "insert_into_overwrite_semantics",
-    "alter_drop_partition", "char_entropy_filter", "mad_outliers",
-    "timezone_conversions", "array_exists_forall",
-    "quantile_normalize", "dynamic_partition_pruning",
-    "ann_product_quantization", "cross_source_dedup_matrix",
-    "phrase_mining_pmi", "table_checksum_audit",
-    # new this round, deferred past the window: trivial deterministic
-    # SQL surfaces with the least to go wrong
-    "inline_explode", "like_family", "date_builtins_wave3",
-    "group_order_by_all", "lateral_column_alias",
-    "array_funcs_wave3", "string_funcs_wave4",
-    # the remaining never-driver-checked round-4 additions (all pass
-    # the local gate replica; one window converts them to hard green)
+    # --- round 6, positions 1-50 = the driver's sampling window ---
+    # 1: the one red r5 row, rewritten to be cross-engine
+    # deterministic (exact bucket counts + quantized-ratio sorted
+    # fold, llm8.py)
+    "dsir_importance_weights",
+    # 2-7: implementations changed in r5/r6 whose latest green rows
+    # predate the change (the advisor's medium item): the r5
+    # bounded-postings rewrite of the pair generators (+ r6
+    # lsh/simhash banded-frame extraction), the r6 semantic_dedup
+    # cell cap, the r6 foreachbatch integer-cents state, and the r5
+    # stream-reader conf rework's representative
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "semantic_dedup", "stream_foreachbatch_upsert",
+    "stream_windowed_counts",
+    # 8-10: brand new round-6 surfaces
+    "informational_constraints_ddl", "show_create_table",
+    "describe_formatted",
+    # 11-47: every remaining round-4 addition that has NEVER had a
+    # driver row (two rounds stale; all pass the local gate replica)
     "array_custom_sort", "array_funcs_wave2", "asof_join_forward",
     "bigram_lm_score", "bitmap_distinct_agg", "blocked_fuzzy_join",
     "chunk_dedup_exact", "column_profile", "date_parse_formats",
@@ -94,24 +72,36 @@ _VERIFY_FIRST = (
     "nested_types_roundtrip", "pagerank_trade_graph",
     "pivot_dynamic", "quantity_expansion", "range_frame_numeric",
     "ratio_to_report", "regr_aggregates", "sequence_gap_detection",
-    # NOTE: the driver samples a 50-query prefix; with 33 new/changed
-    # queries this round, the window cuts partway through the
-    # never-checked round-4 list below. Everything past the cut
-    # carries a judge-local gate-replica green row and nothing in it
-    # changed — those rotate to the front next round.
     "session_first_touch_attribution", "skewness_kurtosis_moments",
     "time_to_convert", "try_cast_family",
     "weighted_median", "windowed_distinct_count", "zscore_outliers",
-    # pair generation reworked this round (pre-collect bounded
-    # postings) — oracle-identical, value-tested; next re-sample
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    # events stream reader's conf handling changed this round
-    "stream_windowed_counts",
+    # 48-50: never-checked round-5 additions closest to changed code
+    # (threshold sweep shares the reworked pair core)
+    "dedup_threshold_sweep", "string_funcs_wave4",
+    "embedding_norm_outliers",
+    # --- past the 50 cut: rotate to the front next round ---
+    # remaining never-checked round-5 additions (all gate-replica
+    # green, none changed since registration)
+    "csv_options_matrix", "parquet_compression_codecs",
+    "unicode_roundtrip", "database_namespace_ddl",
+    "table_properties_ddl", "global_temp_view",
+    "ngram_novelty_score", "order_fulfillment_lag",
+    "stratified_eval_split", "supplier_concentration_hhi",
+    "vocab_coverage_audit", "watermark_lateness_profile",
+    # streaming family whose shared read_events_stream conf handling
+    # changed in r5: green rows predate that change; foreachbatch +
+    # windowed_counts above re-certify the shared path this round,
+    # the rest re-sample next window
     "quality_filter_pipeline",
     "stream_sessionization", "stream_stateful_user_agg",
     "stream_stream_join", "stream_parquet_sink", "stream_dedup",
     "stream_late_data", "stream_dedup_within_watermark",
     "stream_static_join",
+    # round-6 ranking.py null-range change: these three re-certified
+    # in the r5 window AFTER the exact-ntile rewrite; the r6 delta is
+    # a null branch their non-null value columns never take (replica
+    # re-verified this round), so they queue behind never-checked work
+    "window_ntile", "histogram_equi_depth", "quantile_normalize",
 )
 
 
