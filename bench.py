@@ -121,6 +121,10 @@ STRESS_QUERIES = [
     "q9_product_profit",
     "sessionization",
     "dedup_ngram_jaccard",
+    # blocked semantic near-dup on the clone-saturated replica: the
+    # documented output-bound regime (every vector has 9 verbatim
+    # twins); the r6 cell cap bounds the worst cell at 1000 members
+    "semantic_dedup",
 ]
 
 

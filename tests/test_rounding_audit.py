@@ -29,6 +29,7 @@ def test_float_round_sites_all_audited():
         n
         for n, d in committed["inventory"].items()
         if d.get("fuzz") == "stable"
+        or str(d.get("fuzz", "")).startswith("layout-sensitive:")
     }
     missing = sorted(current_float - audited)
     assert not missing, (
@@ -58,6 +59,15 @@ def test_fuzz_results_contain_no_failures():
     bad = {
         n: d["fuzz"]
         for n, d in committed["inventory"].items()
-        if "fuzz" in d and d["fuzz"] != "stable"
+        if "fuzz" in d
+        and d["fuzz"] != "stable"
+        and not str(d["fuzz"]).startswith("layout-sensitive:")
     }
     assert not bad, f"committed audit contains failures: {bad}"
+
+
+def test_layout_sensitive_allowlist_has_reasons():
+    from tools.audit_rounding import LAYOUT_SENSITIVE
+
+    for name, why in LAYOUT_SENSITIVE.items():
+        assert len(why) > 20, f"{name}: justification required"

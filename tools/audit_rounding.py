@@ -220,23 +220,66 @@ def order_fuzz(names: list[str], sf_dir: str) -> dict[str, str]:
     return results
 
 
+# Queries whose OUTPUT is layout-sensitive BY DESIGN under different
+# write/partition configs (file-count reports, TABLESAMPLE partition
+# membership). The driver runs one fixed session config, so these are
+# driver-stable; the fuzz (which varies exactly that config) is the
+# wrong instrument for them. Each entry must say why.
+LAYOUT_SENSITIVE = {
+    "compact_small_files": "reports file counts; write fan-out "
+        "follows shuffle partition count by design",
+    "table_sample_percent_rows": "TABLESAMPLE membership is "
+        "partition-layout-dependent (documented; statistical-fraction "
+        "oracle)",
+    "table_sample_bucket": "same TABLESAMPLE layout dependence",
+    "analyze_table_stats": "reports table file/size statistics that "
+        "follow the write fan-out",
+    "observed_load_metrics": "observe() metrics include partition-"
+        "level counts",
+    "metadata_columns": "_metadata file names/sizes follow write "
+        "fan-out",
+    "parquet_compression_codecs": "file sizes per codec follow write "
+        "fan-out",
+}
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fuzz_all = "--all" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     verify_grid_cols(sf_dir)
     inv = static_inventory()
     float_qs = sorted(
         n for n, d in inv.items() if d["query_class"] == "float"
     )
+    if fuzz_all:
+        from hdsp_hive_release_src_spark import registry
+
+        registry.load_all()
+        fuzz_set = sorted(registry.QUERIES)
+        for n in fuzz_set:
+            inv.setdefault(
+                n, {"sites": [], "query_class": "none"}
+            )
+    else:
+        fuzz_set = float_qs
+    fuzz_set = [n for n in fuzz_set if n not in LAYOUT_SENSITIVE]
     print(
-        f"{len(inv)} queries with round() sites; "
-        f"{len(float_qs)} float-class to fuzz", file=sys.stderr,
+        f"{len(inv)} queries inventoried; {len(float_qs)} float-class; "
+        f"fuzzing {len(fuzz_set)}", file=sys.stderr,
     )
-    fuzz = order_fuzz(float_qs, sf_dir)
+    fuzz = order_fuzz(fuzz_set, sf_dir)
     for n, r in fuzz.items():
         inv[n]["fuzz"] = r
+    for n, why in LAYOUT_SENSITIVE.items():
+        if n in inv:
+            inv[n]["fuzz"] = f"layout-sensitive: {why}"
     out = {
         "sf_dir": sf_dir,
-        "n_queries_with_round": len(inv),
+        "fuzzed_all": fuzz_all,
+        "n_queries_with_round": len(
+            [d for d in inv.values() if d["sites"]]
+        ),
         "float_class": float_qs,
         "inventory": inv,
     }
