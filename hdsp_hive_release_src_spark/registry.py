@@ -102,6 +102,8 @@ _VERIFY_FIRST = (
     # a null branch their non-null value columns never take (replica
     # re-verified this round), so they queue behind never-checked work
     "window_ntile", "histogram_equi_depth", "quantile_normalize",
+    # late round-6 additions (gate-replica green; next window)
+    "heavy_hitters_topk", "url_canonical_dedup",
 )
 
 
@@ -151,6 +153,7 @@ def load_all() -> None:
         olap_surface,
         udf_surface,
         catalog_surface,
+        llm9,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

