@@ -36,16 +36,27 @@ B = F.broadcast
 # expected cell size of 50; replayed verbatim in the DuckDB oracle.
 SEMANTIC_MAX_CELL = 1000
 
-# IVF-style deterministic blocking, multi-probe: every vector lands in
-# its 2 nearest cells of the every-25th-vector codebook (the same
-# rand()-free codebook as ann_ivf_topk). DuckDB replays the identical
-# assignment, so parity is full.
+# IVF-style deterministic blocking, multi-probe, EXACT-DEDUP-FIRST
+# (r6): identical embeddings collapse to one representative (min
+# vec_id) BEFORE the codebook / assignment / pair join, and pairs are
+# expanded back through group membership afterwards. On a corpus with
+# no verbatim copies this is bit-identical to blocking the raw
+# vectors (reps == vectors); on a clone-heavy corpus it removes the
+# (clones per cell)² blow-up, making pair-join cost a function of
+# DISTINCT density and the emitted output — run like a real pipeline:
+# exact dedup first, semantic blocking second, one operator. DuckDB
+# replays the identical grouping + assignment, so parity is full.
 _DUCK_BLOCKED = """
-    n AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
+    grp AS (SELECT v, min(vec_id) AS rep FROM raw GROUP BY v),
+    members AS (SELECT g.rep, raw.vec_id FROM raw JOIN grp g
+                ON raw.v = g.v),
+    n AS (
+      SELECT rep AS vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM grp),
     cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
              WHERE vec_id % 25 = 0),
     assigned AS (
@@ -70,13 +81,29 @@ _DUCK_BLOCKED = """
 @query(
     "semantic_dedup",
     oracle=f"""
-    WITH {_DUCK_BLOCKED}
-    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
-           round(list_sum(list_transform(range(1, 65),
-                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
-    FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE round(list_sum(list_transform(range(1, 65),
-          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.45
+    WITH {_DUCK_BLOCKED},
+    rp AS (
+      SELECT DISTINCT a.vec_id AS r1, b.vec_id AS r2,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, 65),
+            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.45),
+    cross_pairs AS (
+      SELECT least(m1.vec_id, m2.vec_id) AS v1,
+             greatest(m1.vec_id, m2.vec_id) AS v2, rp.cos
+      FROM rp JOIN members m1 ON m1.rep = rp.r1
+              JOIN members m2 ON m2.rep = rp.r2),
+    intra_pairs AS (
+      SELECT m1.vec_id AS v1, m2.vec_id AS v2,
+             round(list_sum(list_transform(n.v, x -> x * x))
+                   / (n.nrm * n.nrm), 6) AS cos
+      FROM n JOIN members m1 ON m1.rep = n.vec_id
+             JOIN members m2 ON m2.rep = n.vec_id
+                            AND m1.vec_id < m2.vec_id)
+    SELECT v1, v2, cos FROM cross_pairs
+    UNION ALL
+    SELECT v1, v2, cos FROM intra_pairs
     ORDER BY v1, v2
     """,
 )
@@ -98,6 +125,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the exhaustive test-scale twin that measures the recall
     gap.
 
+    Exact-dedup-first (r6): identical embeddings collapse to a
+    min-vec_id representative before anything else — the codebook,
+    assignment, cap, and pair join all run on DISTINCT vectors, and
+    pairs expand back through the membership table at the end (clone
+    pairs are trivially semantic dups; a clone-heavy corpus made the
+    raw-vector pair join (clones/cell)²-bound, 70 s at the 10× clone
+    stress vs output-proportional after this change). On a corpus
+    with no verbatim copies the result is bit-identical to blocking
+    raw vectors. This is exactly the production ordering: exact dedup
+    → semantic dedup, fused into one operator.
+
     The assignment is MATERIALIZED to parquet before the pair join —
     Catalyst plans a self-join's two sides as two full subtrees (no
     exchange reuse across the alias), which would run the
@@ -112,7 +150,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", to_double("embedding").alias("v")
     )
-    n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    # exact-dedup first: identical vectors collapse to one
+    # representative (min vec_id); blocking and the pair join run on
+    # DISTINCT vectors only, pairs expand back through membership at
+    # the end. Grouping is on the raw double array — exact binary
+    # equality, no string formatting to diverge between engines.
+    grp = e.groupBy("v").agg(F.min("vec_id").alias("rep"))
+    members = e.join(grp, "v").select("rep", "vec_id")
+    n = grp.select(
+        F.col("rep").alias("vec_id"),
+        "v",
+        l2_norm(F.col("v")).alias("nrm"),
+    )
     cent = n.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
@@ -133,6 +182,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     assigned.write.parquet(path)
     spark.catalog.refreshByPath(path)
+    mpath = scratch_path("semantic_members", sf_dir)
+    shutil.rmtree(mpath, ignore_errors=True)
+    members.write.parquet(mpath)
+    spark.catalog.refreshByPath(mpath)
+    members = spark.read.parquet(mpath)
     # Cell-size cap (same design as the dedup band/df caps): a
     # spillable no-orderBy Window count drops any pathological cell
     # whose (size)² pair work would go quadratic — a degenerate
@@ -156,21 +210,58 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
+            F.col("a.vec_id").alias("r1"),
+            F.col("b.vec_id").alias("r2"),
             cos.alias("cos"),
         )
         .where(F.col("cos") >= 0.45)
         .distinct()
-        .orderBy("v1", "v2")
     )
+    # expand representative pairs back to member pairs (the exact-dup
+    # groups collapsed above): cross pairs through the two membership
+    # joins, intra-group pairs (identical vectors — cosine computed
+    # the same way, numerically 1.0) from the group self-join. Output
+    # size is the true pair count — the operator's cost is now
+    # distinct-density pair work + O(output) expansion.
+    m1 = members.select(
+        F.col("rep").alias("r1"), F.col("vec_id").alias("mv1")
+    )
+    m2 = members.select(
+        F.col("rep").alias("r2"), F.col("vec_id").alias("mv2")
+    )
+    cross_pairs = (
+        rep_pairs.join(m1, "r1")
+        .join(m2, "r2")
+        .select(
+            F.least("mv1", "mv2").alias("v1"),
+            F.greatest("mv1", "mv2").alias("v2"),
+            "cos",
+        )
+    )
+    self_cos = F.round(
+        dot(F.col("v"), F.col("v")) / (F.col("nrm") * F.col("nrm")), 6
+    )
+    intra_pairs = (
+        n.select(F.col("vec_id").alias("rep"), self_cos.alias("cos"))
+        .join(
+            members.select("rep", F.col("vec_id").alias("mv1")), "rep"
+        )
+        .join(
+            members.select("rep", F.col("vec_id").alias("mv2")), "rep"
+        )
+        .where(F.col("mv1") < F.col("mv2"))
+        .select(
+            F.col("mv1").alias("v1"), F.col("mv2").alias("v2"), "cos"
+        )
+    )
+    return cross_pairs.unionAll(intra_pairs).orderBy("v1", "v2")
 
 
 _PQ_M = 8       # subspaces

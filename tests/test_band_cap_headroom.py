@@ -70,7 +70,13 @@ def test_semantic_cells_far_below_cap(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", to_double("embedding").alias("v")
     )
-    n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    # r6: blocking runs on exact-dedup representatives (min vec_id
+    # per distinct vector) — mirror that here
+    n = (
+        e.groupBy("v")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    )
     cent = n.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
