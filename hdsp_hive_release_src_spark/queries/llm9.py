@@ -1,6 +1,7 @@
 """SURVEY.md §2.4 round-6 additions: two-pass exact heavy hitters
-(the vocabulary-scale frequent-items operator) and crawl-style URL
-canonicalization dedup."""
+(the vocabulary-scale frequent-items operator), crawl-style URL
+canonicalization dedup, and the MinHash estimate-accuracy contract
+(the number LSH banding recall claims rest on)."""
 
 from __future__ import annotations
 
@@ -8,6 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.functions.hashing import (
+    minhash_sql,
+    word_shingles_sql,
+)
 from hdsp_hive_release_src_spark.operators.sketches import heavy_hitters
 from hdsp_hive_release_src_spark.registry import query
 
@@ -151,4 +156,82 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
         )
         .orderBy("canonical_url")
+    )
+
+
+def _mh_est_oracle() -> str:
+    from hdsp_hive_release_src_spark.queries.llm import (
+        _DUCK_SH_CAPPED,
+        _DUCK_SHINGLES,
+    )
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_SH_CAPPED},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard,
+           TRUE AS est_within_band
+    FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+    ORDER BY d1, d2
+    """
+
+
+@query("minhash_estimate_accuracy", oracle=_mh_est_oracle())
+def minhash_estimate_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch-accuracy contract behind `dedup_minhash_lsh`: for
+    every true near-dup pair (exact Jaccard >= 0.5), the 64-slot
+    MinHash signature agreement fraction must sit within 0.15 of the
+    exact Jaccard (measured max deviation 0.055 on this corpus; the
+    binomial sd at J=0.5 with k=64 is 0.0625, so 0.15 ~ 2.4 sigma —
+    and the hashes are FIXED seeds, so the booleans are
+    deterministic, not a sampling gamble). Same tolerance-oracle
+    shape as approx_distinct: the signature values are
+    engine-hash-defined (xxhash64 has no DuckDB twin), so the oracle
+    pins the exact pair set + exact Jaccard and a literal TRUE, while
+    Spark carries the actual |estimate - exact| <= 0.15 check. This
+    is the number that justifies banding thresholds at 100 TB — if
+    signature agreement drifted from true similarity, every LSH
+    recall claim would be fiction."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        _parallel_docs,
+        shingle_pair_counts,
+    )
+
+    d = _parallel_docs(spark, sf_dir)
+    pairs = shingle_pair_counts(d, 1000)
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    p = pairs.where(jac >= 0.5).select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
+    )
+    sig = d.select(
+        "doc_id",
+        F.expr(minhash_sql(word_shingles_sql("text"), 64)).alias("sig"),
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"),
+                    F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"),
+                    F.col("sig").alias("sig2"))
+    matches = F.expr(
+        "aggregate(zip_with(sig1, sig2, (a, b) -> IF(a = b, 1, 0)),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    return (
+        p.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            (F.abs(matches / 64.0 - F.col("jaccard")) <= 0.15).alias(
+                "est_within_band"
+            ),
+        )
+        .orderBy("d1", "d2")
     )

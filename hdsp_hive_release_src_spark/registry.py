@@ -104,6 +104,7 @@ _VERIFY_FIRST = (
     "window_ntile", "histogram_equi_depth", "quantile_normalize",
     # late round-6 additions (gate-replica green; next window)
     "heavy_hitters_topk", "url_canonical_dedup",
+    "minhash_estimate_accuracy",
 )
 
 

@@ -81,6 +81,20 @@ def test_no_heavy_hitters_uniform(spark):
     assert heavy_hitters(df, "t", DEN).count() == 0
 
 
+def test_heavy_hitters_plan_shape(spark, sf_dir):
+    """The scale contract in the plan: candidates reach the corpus
+    via a BROADCAST join (never a vocabulary-wide shuffle join), so
+    the only shuffles are the tiny candidate distinct and the
+    candidate-filtered recount."""
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["heavy_hitters_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_url_canonical_groups(spark, sf_dir):
     """Every canonical group's members must re-canonicalize to the
     group key, and keeper is the min doc_id (spot invariants beyond
