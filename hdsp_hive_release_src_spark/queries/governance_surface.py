@@ -1,0 +1,145 @@
+"""SURVEY.md §2 round-6 additions, governance + sketch-contract wave:
+row-level security via parameterized secure views (the Hive/Ranger
+RLS pattern expressed with Spark 4 session variables) and the
+rank-error contract of approx percentiles (the guarantee that lets a
+100 TB pipeline replace exact sorts with sketches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+# percentile_approx accuracy parameter and the rank-error bound it
+# guarantees: epsilon = 1/ACC relative rank error (GK/KLL contract).
+ACC = 10000
+
+
+@query(
+    "rls_secure_view",
+    oracle="""
+    SELECT 'BUILDING' AS acting_segment, count(*) AS n_visible,
+           CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 'MACHINERY', count(*),
+           CAST(sum(o.o_orderkey) AS BIGINT)
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    ORDER BY acting_segment
+    """,
+)
+def rls_secure_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security as a parameterized secure VIEW: the view
+    body filters on a session VARIABLE (the acting principal's
+    segment), so every reader sees only their rows — the exact
+    pattern Hive deploys via Ranger row-filter policies, expressed
+    with Spark 4 session variables + a view (no engine fork needed).
+    The query reads the SAME view under two different principals and
+    returns both visibility sets; parity proves the filter is
+    dynamic (re-evaluated per read), not baked in at view creation.
+    Scale shape: the variable is a plan-time literal, so the
+    predicate pushes into the customer scan like any constant —
+    RLS costs nothing beyond the filter itself."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("rls_orders_src")
+    cat.customer.createOrReplaceTempView("rls_customer_src")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE rls_segment STRING DEFAULT ''"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW rls_orders AS
+        SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM rls_orders_src o JOIN rls_customer_src c
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = rls_segment
+        """
+    )
+    frames = []
+    for segment in ("BUILDING", "MACHINERY"):
+        spark.sql(f"SET VAR rls_segment = '{segment}'")
+        frames.append(
+            spark.table("rls_orders")
+            .agg(
+                F.count(F.lit(1)).alias("n_visible"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .select(
+                F.lit(segment).alias("acting_segment"),
+                "n_visible",
+                "key_sum",
+            )
+        )
+    return frames[0].unionAll(frames[1]).orderBy("acting_segment")
+
+
+@query(
+    "approx_quantile_rank_contract",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(CAST(quantile_cont(l_extendedprice, 0.5)
+                 AS DOUBLE), 4) AS exact_p50,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def approx_quantile_rank_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch contract behind percentile_approx (GK/KLL): an
+    approximate p-quantile's TRUE rank must lie within ε·n of p·n
+    (ε = 1/accuracy). Same tolerance-oracle shape as approx_distinct
+    and minhash_estimate_accuracy: the approx VALUES are
+    sketch-internal (and can vary with merge order), so the output
+    carries the exact interpolated median plus Spark-verified
+    booleans — the oracle pins exact values and literal TRUEs. This
+    bound is what lets a 100 TB pipeline cut data-skew boundaries,
+    equi-depth histograms, and range-split points from one sketch
+    pass instead of a full sort: the error is a contract, not a
+    hope. Two scans (sketch, rank check), both fully partial-
+    aggregated; the 3-row approx table is broadcast into the rank
+    count."""
+    li = Catalog(spark, sf_dir).lineitem
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), ACC
+        ).alias("ap")
+    ).select(
+        "l_returnflag",
+        F.col("ap")[0].alias("a50"),
+        F.col("ap")[1].alias("a90"),
+    )
+    ranked = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("a50"), 1)
+                .otherwise(0)
+            ).alias("r50"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("a90"), 1)
+                .otherwise(0)
+            ).alias("r90"),
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.5)"), 4
+            ).alias("exact_p50"),
+        )
+    )
+    eps_slack = F.col("n") / ACC + 1
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= eps_slack).alias(
+            "p50_rank_ok"
+        ),
+        (F.abs(F.col("r90") - 0.9 * F.col("n")) <= eps_slack).alias(
+            "p90_rank_ok"
+        ),
+    ).orderBy("l_returnflag")

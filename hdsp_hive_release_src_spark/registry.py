@@ -105,6 +105,7 @@ _VERIFY_FIRST = (
     # late round-6 additions (gate-replica green; next window)
     "heavy_hitters_topk", "url_canonical_dedup",
     "minhash_estimate_accuracy",
+    "rls_secure_view", "approx_quantile_rank_contract",
 )
 
 
@@ -155,6 +156,7 @@ def load_all() -> None:
         udf_surface,
         catalog_surface,
         llm9,
+        governance_surface,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
