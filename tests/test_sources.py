@@ -57,6 +57,24 @@ def test_avro_datasource_really_absent(spark):
         )
 
 
+def test_transform_with_state_blocked_on_protobuf():
+    """Promotion sentinel for Spark 4's arbitrary-stateful-processing
+    v2 (transformWithStateInPandas / StatefulProcessor): its driver
+    worker needs the `protobuf` python package (state protocol), which
+    is not in this image — probed round 6, the streaming runner dies
+    with ImportError from StateMessage_pb2. applyInPandasWithState
+    (v1) covers the arbitrary-state surface today
+    (streaming/jobs.py::stateful_running_agg). If this test fails,
+    protobuf has appeared: add a transformWithState query with
+    ValueState + timers beside the v1 operator."""
+    import importlib.util
+
+    assert importlib.util.find_spec("google.protobuf") is None, (
+        "protobuf is now available - promote transformWithStateInPandas"
+        " to a first-class streaming query"
+    )
+
+
 def test_kafka_source_really_absent(spark):
     """Same promotion sentinel for the Kafka streaming source: if this
     test fails, spark-sql-kafka-0-10 has appeared on the classpath and
