@@ -69,7 +69,11 @@ def test_transform_with_state_blocked_on_protobuf():
     ValueState + timers beside the v1 operator."""
     import importlib.util
 
-    assert importlib.util.find_spec("google.protobuf") is None, (
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # parent 'google' namespace missing
+        spec = None
+    assert spec is None, (
         "protobuf is now available - promote transformWithStateInPandas"
         " to a first-class streaming query"
     )
