@@ -143,3 +143,45 @@ def approx_quantile_rank_contract(
             "p90_rank_ok"
         ),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "sql_scalar_macro",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+               AS disc_revenue
+    FROM lineitem WHERE l_orderkey < 5000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_scalar_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar function (CREATE FUNCTION ... RETURNS DOUBLE RETURN
+    expr, Spark 4) — the typed, server-side replacement for Hive's
+    CREATE TEMPORARY MACRO: a named expression registered once and
+    reused across queries. The body INLINES at plan time, so calling
+    it inside an aggregate keeps whole-stage codegen and partial
+    aggregation — zero overhead vs writing the expression by hand
+    (unlike a Python UDF, which would serialize every row). The
+    oracle inlines the same expression; parity proves the inlining
+    is semantically exact. Complements `sql_table_function` (RETURNS
+    TABLE) and `sql_udf_registration` (Python scalar)."""
+    Catalog(spark, sf_dir).lineitem.where(
+        F.col("l_orderkey") < 5000
+    ).createOrReplaceTempView("macro_lineitem_src")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+            p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                   AS disc_revenue
+        FROM macro_lineitem_src
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
