@@ -185,3 +185,50 @@ def sql_scalar_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "fixed_size_hash_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents ORDER BY h, doc_id LIMIT 200)
+    SELECT count(*) AS k,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(h) AS h_lo, max(h) AS h_hi
+    FROM ranked
+    """,
+)
+def fixed_size_hash_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample: the k smallest rows by
+    a keyed hash (md5 of the key) — the eval-set / debugging cut every
+    pipeline needs that percent-sampling can't give (TABLESAMPLE's
+    size drifts with the data; this is exactly k, reproducible on any
+    engine, and stable under appends for the rows already chosen
+    unless a smaller hash arrives, i.e. a consistent bottom-k sketch).
+    Scale shape: ORDER BY hash LIMIT k plans as
+    TakeOrderedAndProject — a per-partition top-k heap merged on the
+    driver, O(k) memory, NO global sort and no single-partition
+    stage (plan-asserted in tests). The oracle replays the identical
+    hash ranking; the output checksums the chosen id set so a single
+    membership difference breaks parity."""
+    d = Catalog(spark, sf_dir).documents
+    ranked = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(200)
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("h").alias("h_lo"),
+        F.max("h").alias("h_hi"),
+    )

@@ -106,7 +106,7 @@ _VERIFY_FIRST = (
     "heavy_hitters_topk", "url_canonical_dedup",
     "minhash_estimate_accuracy",
     "rls_secure_view", "approx_quantile_rank_contract",
-    "sql_scalar_macro",
+    "sql_scalar_macro", "fixed_size_hash_sample",
 )
 
 

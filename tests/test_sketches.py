@@ -113,3 +113,24 @@ def test_url_canonical_groups(spark, sf_dir):
         or "id=" in r.canonical_url
         for r in rows
     )
+
+
+def test_fixed_size_hash_sample_plan_and_determinism(spark, sf_dir):
+    """Plan must be TakeOrderedAndProject (per-partition top-k heap,
+    O(k) memory) — never a single-partition global sort; and the
+    chosen id set must be identical under different partitionings."""
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["fixed_size_hash_sample"]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    base = df.collect()[0]
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = fn(spark, sf_dir).collect()[0]
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+    assert base.id_checksum == again.id_checksum
+    assert base.k == again.k
