@@ -232,3 +232,84 @@ def fixed_size_hash_sample(
         F.min("h").alias("h_lo"),
         F.max("h").alias("h_hi"),
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders WHERE o_orderkey < 1200),
+    pts AS (
+      SELECT CAST(l_shipdate AS DATE) AS p FROM lineitem
+      WHERE l_orderkey >= 3000 AND l_orderkey < 4500)
+    SELECT iv.o_orderkey, count(pts.p) AS n_ships
+    FROM iv LEFT JOIN pts ON pts.p >= iv.s AND pts.p < iv.e
+    GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey
+    """,
+)
+def interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pure range join — point-in-interval with NO equi key (ships
+    from unrelated orders counted inside each order's 7-day window).
+    Naively this is a cartesian product with an inequality filter —
+    the plan shape that does not complete at scale. The classic fix,
+    implemented here: GRID BUCKETING. Time is cut into buckets the
+    width of the interval (7 days), each interval is replicated into
+    the ≤2 distinct buckets it touches (array_distinct — a
+    same-bucket duplicate would double-count), each point lands in
+    exactly ONE bucket, and the join becomes an EQUI-join on bucket
+    id + a residual range filter. A point can meet an interval only
+    in the point's own bucket, so no post-join dedup is needed.
+    Cost: shuffle on bucket id with ≤2× interval replication — vs
+    |iv|×|pts| for the cross join. The oracle computes the naive
+    quadratic form (fine at test scale), so parity proves the
+    bucketed rewrite is EXACTLY the naive semantics, zeros included
+    (left join keeps empty windows). No CartesianProduct in the plan
+    (test-asserted)."""
+    cat = Catalog(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        cat.orders.where(F.col("o_orderkey") < 1200)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.date_add(F.col("o_orderdate").cast("date"), 7).alias("e"),
+        )
+        .withColumn(
+            "b",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.datediff(F.col("s"), epoch) / 7),
+                        # last day inside [s, e) is e-1
+                        F.floor(
+                            F.datediff(F.date_sub(F.col("e"), 1), epoch)
+                            / 7
+                        ),
+                    )
+                )
+            ),
+        )
+    )
+    pts = (
+        cat.lineitem.where(
+            (F.col("l_orderkey") >= 3000) & (F.col("l_orderkey") < 4500)
+        )
+        .select(F.col("l_shipdate").cast("date").alias("p"))
+        .withColumn("b", F.floor(F.datediff(F.col("p"), epoch) / 7))
+    )
+    joined = iv.join(
+        pts,
+        (iv["b"] == pts["b"])
+        & (pts["p"] >= iv["s"])
+        & (pts["p"] < iv["e"]),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.count("p").alias("n_ships"))
+        .orderBy("o_orderkey")
+    )

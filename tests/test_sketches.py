@@ -134,3 +134,14 @@ def test_fixed_size_hash_sample_plan_and_determinism(spark, sf_dir):
         spark.conf.unset("spark.sql.shuffle.partitions")
     assert base.id_checksum == again.id_checksum
     assert base.k == again.k
+
+
+def test_interval_overlap_join_no_cartesian(spark, sf_dir):
+    """The grid-bucketed range join must plan as an equi-join on the
+    bucket id — never a cartesian/nested-loop product."""
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["interval_overlap_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
