@@ -235,3 +235,82 @@ def minhash_estimate_accuracy(
         )
         .orderBy("d1", "d2")
     )
+
+
+def _u_from_md5_spark() -> str:
+    """Deterministic uniform in (0,1): the first 12 md5 nibbles of the
+    doc id as an exact integer over 16^12 (nibble-by-nibble instr
+    arithmetic — both engines reproduce the integer exactly)."""
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"(({terms}) + 1) / CAST({16 ** 12} AS DOUBLE)"
+
+
+def _u_from_md5_duck() -> str:
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"(({terms}) + 1) / CAST({16 ** 12} AS DOUBLE)"
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    raced AS (
+      SELECT doc_id, n_chars,
+             round(-ln({_u_from_md5_duck()}) / n_chars, 9) AS r
+      FROM keyed),
+    sample AS (SELECT * FROM raced ORDER BY r, doc_id LIMIT 100)
+    SELECT count(*) AS k,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS weight_sum,
+           round(min(r), 9) AS r_lo, round(max(r), 9) AS r_hi
+    FROM sample
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis
+    A-ExpJ form: each doc races with an exponential clock
+    r = -ln(u)/w (w = n_chars as the quality weight; u a
+    deterministic md5-derived uniform, exactly reproducible in both
+    engines) and the k smallest r win — inclusion probability
+    proportional to weight, the quality-weighted corpus cut an LLM
+    pipeline uses to tilt sampling toward high-value documents while
+    staying reproducible run to run. Scale shape: map-only key
+    computation + ORDER BY r LIMIT k = TakeOrderedAndProject
+    (per-partition heap, O(k) memory, no global sort) — identical
+    cost to `fixed_size_hash_sample`, which is this operator with
+    all weights equal. r is quantized to 9 decimals before the
+    cutoff so a 1-ulp libm ln() divergence cannot reorder the
+    boundary (gaps between adjacent order statistics are ~1e-5;
+    deterministic tie-break on doc_id)."""
+    d = Catalog(spark, sf_dir).documents
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    raced = keyed.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            -F.log(F.expr(_u_from_md5_spark())) / F.col("n_chars"), 9
+        ).alias("r"),
+    )
+    sample = raced.orderBy("r", "doc_id").limit(100)
+    return sample.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("weight_sum"),
+        F.round(F.min("r"), 9).alias("r_lo"),
+        F.round(F.max("r"), 9).alias("r_hi"),
+    )

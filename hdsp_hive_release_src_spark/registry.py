@@ -107,7 +107,7 @@ _VERIFY_FIRST = (
     "minhash_estimate_accuracy",
     "rls_secure_view", "approx_quantile_rank_contract",
     "sql_scalar_macro", "fixed_size_hash_sample",
-    "interval_overlap_join",
+    "interval_overlap_join", "weighted_sample_topk",
 )
 
 

@@ -145,3 +145,30 @@ def test_interval_overlap_join_no_cartesian(spark, sf_dir):
     df = registry.QUERIES["interval_overlap_join"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_tilts_toward_weight(spark, sf_dir):
+    """Inclusion must be weight-proportional: the weighted sample's
+    mean n_chars should exceed the corpus mean (and the operator is
+    deterministic across partitionings)."""
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.catalog import Catalog
+
+    registry.load_all()
+    fn = registry.QUERIES["weighted_sample_topk"]
+    row = fn(spark, sf_dir).collect()[0]
+    corpus_avg = (
+        Catalog(spark, sf_dir)
+        .documents.agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert row.k == 100
+    assert row.weight_sum / row.k > corpus_avg
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = fn(spark, sf_dir).collect()[0]
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+    assert again.id_checksum == row.id_checksum
