@@ -313,3 +313,102 @@ def interval_overlap_join(
         .agg(F.count("p").alias("n_ships"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "json_schema_inference",
+    oracle="""
+    SELECT 'STRUCT<k: BIGINT>' AS inferred_schema,
+           count(*) AS n_parsed,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def json_schema_inference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema inference for semi-structured columns: sample a
+    document (deterministically: the min-event_id row — a bounded
+    1-row driver read, the same planning-time sampling pass
+    spark.read.json performs), infer its schema with schema_of_json,
+    then parse the WHOLE column with the inferred schema and
+    aggregate through the typed struct. Parity pins the inferred
+    schema STRING itself (a type-mapping drift breaks the oracle)
+    and proves the full-column parse agrees with path extraction.
+    Scale: inference cost is O(sample), the parse is one map-side
+    from_json over the corpus."""
+    ev = Catalog(spark, sf_dir).events
+    sample = (
+        ev.orderBy("event_id").select("props").limit(1).collect()[0][0]
+    )
+    esc = sample.replace("'", "''")
+    schema_str = spark.sql(
+        f"SELECT schema_of_json('{esc}') AS s"
+    ).collect()[0][0]
+    parsed = ev.select(
+        F.from_json(F.col("props"), schema_str).alias("j")
+    ).where(F.col("j.k").isNotNull())
+    return parsed.agg(
+        F.lit(schema_str).alias("inferred_schema"),
+        F.count(F.lit(1)).alias("n_parsed"),
+        F.sum("j.k").cast("long").alias("k_sum"),
+    ).select("inferred_schema", "n_parsed", "k_sum")
+
+
+@query(
+    "trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS rnk,
+             count(*) OVER () AS n
+      FROM orders),
+    mid AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM ranked
+      WHERE rnk > n // 20 AND rnk <= n - n // 20)
+    SELECT count(*) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           round(sum(cents) / 100.0 / count(*), 4) AS trimmed_mean
+    FROM mid
+    """,
+)
+def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value — the robust average every
+    revenue dashboard wants (outliers clipped by RANK, not by a
+    fixed threshold). Built on the distributed exact-rank operator
+    (operators/ranking.py): no single-partition global window, rank
+    thresholds are INTEGER (n//20), and the mean is derived from an
+    exact integer cents sum with one final division — so no float
+    accumulation ever crosses engines (the audit's design rule).
+    DuckDB computes the same trim with a window; at test scale
+    that's fine, at 100 TB only the range-decomposed rank
+    survives."""
+    from hdsp_hive_release_src_spark.operators.ranking import (
+        with_global_rank,
+    )
+
+    o = Catalog(spark, sf_dir).orders
+    ranked, total = with_global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        ["o_orderkey"],
+        rank_col="rnk",
+    )
+    cut = total // 20
+    mid = ranked.where(
+        (F.col("rnk") > cut) & (F.col("rnk") <= total - cut)
+    ).select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return mid.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 4).alias(
+            "trimmed_mean"
+        ),
+    )

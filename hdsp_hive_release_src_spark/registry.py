@@ -108,6 +108,7 @@ _VERIFY_FIRST = (
     "rls_secure_view", "approx_quantile_rank_contract",
     "sql_scalar_macro", "fixed_size_hash_sample",
     "interval_overlap_join", "weighted_sample_topk",
+    "json_schema_inference", "trimmed_mean",
 )
 
 
