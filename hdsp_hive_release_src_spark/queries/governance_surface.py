@@ -412,3 +412,128 @@ def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean"
         ),
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
+      FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, event_id AS view_event_id,
+             CAST(ts AS TIMESTAMP) ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN v.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN v.view_event_id END AS fresh_view_id,
+           CASE WHEN v.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN CAST(epoch_us(v.ts) AS BIGINT) END AS fresh_view_us
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITH a staleness tolerance (pandas
+    merge_asof's `tolerance=`): each purchase gets the user's most
+    recent prior view ONLY if it happened within the last 30 minutes
+    — a quote/lookup older than the tolerance is stale and must NOT
+    be carried (the difference between "the last known price" and
+    "a price still valid"). Implemented as the same
+    union+carry-forward window operator (operators/asof.py) carrying
+    the right-side timestamp, with the tolerance applied as a
+    post-carry mask — zero extra shuffles vs the unbounded as-of.
+    DuckDB's native ASOF JOIN + the same mask is the oracle."""
+    from hdsp_hive_release_src_spark.operators.asof import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        left_on="ts",
+        right_on="view_ts",
+        by_left="user_id",
+        by_right="user_id",
+        value_cols=["view_event_id", "view_ts"],
+        suffix="",
+    )
+    fresh = F.col("view_ts") >= F.col("ts") - F.expr(
+        "INTERVAL 30 MINUTES"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("view_event_id")).alias("fresh_view_id"),
+        F.when(fresh, F.unix_micros("view_ts").cast("long")).alias(
+            "fresh_view_us"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_orderkey < 1000))
+          AS not_in_clean,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey = 999 THEN NULL
+                          ELSE o_custkey END
+              FROM orders WHERE o_orderkey < 1000))
+          AS not_in_with_null,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS
+             (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderkey < 1000))
+          AS not_exists
+    """,
+)
+def not_in_null_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NOT IN null trap, tri-valued logic made visible: NOT IN
+    against a subquery that CONTAINS a NULL returns zero rows (x <>
+    NULL is UNKNOWN, so no row can ever pass), while the same
+    predicate without the NULL — and the NOT EXISTS form, which is
+    null-immune — return the real anti-join count. Spark plans the
+    nullable variant as a NullAwareAntiJoin (plan-asserted in
+    tests); engines that get this wrong silently return wrong
+    answers on any nullable FK. All three counts in one row so
+    parity proves the semantics, not just one happy path."""
+    cat = Catalog(spark, sf_dir)
+    cat.customer.createOrReplaceTempView("nin_customer")
+    cat.orders.createOrReplaceTempView("nin_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM nin_customer
+           WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM nin_orders
+                  WHERE o_orderkey < 1000)) AS not_in_clean,
+          (SELECT count(*) FROM nin_customer
+           WHERE c_custkey NOT IN
+                 (SELECT CASE WHEN o_orderkey = 999 THEN NULL
+                              ELSE o_custkey END
+                  FROM nin_orders WHERE o_orderkey < 1000))
+              AS not_in_with_null,
+          (SELECT count(*) FROM nin_customer c
+           WHERE NOT EXISTS
+                 (SELECT 1 FROM nin_orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderkey < 1000)) AS not_exists
+        """
+    )

@@ -109,6 +109,7 @@ _VERIFY_FIRST = (
     "sql_scalar_macro", "fixed_size_hash_sample",
     "interval_overlap_join", "weighted_sample_topk",
     "json_schema_inference", "trimmed_mean",
+    "asof_join_tolerance", "not_in_null_semantics",
 )
 
 

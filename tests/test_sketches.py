@@ -172,3 +172,29 @@ def test_weighted_sample_tilts_toward_weight(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.shuffle.partitions")
     assert again.id_checksum == row.id_checksum
+
+
+def test_not_in_null_plans_null_aware_anti_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    cat.customer.createOrReplaceTempView("naaj_customer")
+    cat.orders.createOrReplaceTempView("naaj_orders")
+    df = spark.sql(
+        """
+        SELECT count(*) FROM naaj_customer
+        WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderkey = 999 THEN NULL
+                           ELSE o_custkey END
+               FROM naaj_orders WHERE o_orderkey < 1000)
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark encodes null-aware anti join as the trailing boolean flag
+    # on the LeftAnti BroadcastHashJoin line
+    assert any(
+        "LeftAnti" in line and line.rstrip().endswith("true")
+        for line in plan.splitlines()
+    ), plan
