@@ -537,3 +537,78 @@ def not_in_null_semantics(
                     AND o.o_orderkey < 1000)) AS not_exists
         """
     )
+
+
+@query(
+    "funnel_windowed_strict",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS s2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(e.ts AS TIMESTAMP) > v.s1
+        AND CAST(e.ts AS TIMESTAMP) <= v.s1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS s3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) > c.s2
+        AND CAST(e.ts AS TIMESTAMP) <= c.s2 + INTERVAL 1 HOUR
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_1h,
+           (SELECT count(*) FROM p) AS n_purchased_1h
+    """,
+)
+def funnel_windowed_strict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict sequential funnel with per-step deadlines: view →
+    click within 1h OF THE VIEW → purchase within 1h OF THAT CLICK.
+    Each stage RE-ANCHORS on the previous stage's qualifying event
+    (min qualifying ts), which is what separates a conversion-window
+    funnel from `funnel_counts`' first-occurrence ordering — a click
+    that happens 3 days after the view must not advance the funnel
+    even if it is the user's first click. Scale shape: one
+    aggregation + equi-join per stage, all keyed on user_id — the
+    same exchange reused down the chain; no windows, no inequality
+    joins (the deadline rides as a join-filter residual)."""
+    ev = Catalog(spark, sf_dir).events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("s1"))
+            & (F.col("ts") <= F.col("s1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("s2"))
+            & (F.col("ts") <= F.col("s2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_1h"))))
+        .join(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("n_purchased_1h"))
+            )
+        )
+    )
