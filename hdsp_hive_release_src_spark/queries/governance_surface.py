@@ -6,7 +6,7 @@ rank-error contract of approx percentiles (the guarantee that lets a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
@@ -611,4 +611,77 @@ def funnel_windowed_strict(
                 p.agg(F.count(F.lit(1)).alias("n_purchased_1h"))
             )
         )
+    )
+
+
+@query(
+    "cusum_drift_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    params AS (
+      SELECT event_type,
+             (11 * sum(n)) // (10 * count(*)) AS k
+      FROM daily GROUP BY event_type),
+    c AS (
+      SELECT daily.event_type, d, n, k,
+             sum(n - k) OVER (PARTITION BY daily.event_type
+                              ORDER BY d) AS cum
+      FROM daily JOIN params ON daily.event_type = params.event_type),
+    s AS (
+      SELECT event_type, d, k,
+             cum - least(0, min(cum) OVER (PARTITION BY event_type
+                             ORDER BY d)) AS cusum
+      FROM c)
+    SELECT event_type, CAST(max(k) AS BIGINT) AS k,
+           CAST(max(cusum) AS BIGINT) AS max_cusum,
+           CAST(count(CASE WHEN cusum > 3 * k THEN 1 END) AS BIGINT)
+               AS n_alert_days
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def cusum_drift_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sided CUSUM drift detection over daily event volumes — the
+    classic sequential change detector (Page 1954): S_t =
+    max(0, S_{t-1} + x_t - k) alarms when the cumulated exceedance
+    over the allowance k passes a threshold. The recursion is not
+    window-expressible directly, but the closed form is:
+    S_t = C_t - min(0, min_{i≤t} C_i) with C the running sum of
+    (x - k) — a cumsum and a running min over the SAME
+    partition/order, so both windows share one exchange and one
+    sort. Everything is integer (daily counts, integer-division
+    allowance k = ⌈1.1·mean⌉-ish, threshold 3k), so there is no
+    float boundary anywhere. At 100 TB the input to the windows is
+    the DAILY aggregate — window length = days, not events."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    params = daily.groupBy("event_type").agg(
+        F.expr("(11 * sum(n)) div (10 * count(*))").alias("k")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    c = (
+        daily.join(params, "event_type")
+        .withColumn("cum", F.sum(F.col("n") - F.col("k")).over(w))
+        .withColumn(
+            "cusum",
+            F.col("cum") - F.least(F.lit(0), F.min("cum").over(w)),
+        )
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("k").cast("long").alias("k"),
+            F.max("cusum").cast("long").alias("max_cusum"),
+            F.count(
+                F.when(F.col("cusum") > 3 * F.col("k"), F.lit(1))
+            ).cast("long").alias("n_alert_days"),
+        )
+        .orderBy("event_type")
     )

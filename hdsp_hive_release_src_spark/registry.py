@@ -110,7 +110,7 @@ _VERIFY_FIRST = (
     "interval_overlap_join", "weighted_sample_topk",
     "json_schema_inference", "trimmed_mean",
     "asof_join_tolerance", "not_in_null_semantics",
-    "funnel_windowed_strict",
+    "funnel_windowed_strict", "cusum_drift_detection",
 )
 
 

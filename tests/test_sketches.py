@@ -198,3 +198,34 @@ def test_not_in_null_plans_null_aware_anti_join(spark, sf_dir):
         "LeftAnti" in line and line.rstrip().endswith("true")
         for line in plan.splitlines()
     ), plan
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The window-expressible closed form S_t = C_t - min(0, min C_i)
+    must equal Page's recursion S_t = max(0, S_(t-1) + x_t - k)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    xs = [rng.randrange(0, 20) for _ in range(60)]
+    k = 10
+    # recursive reference
+    want, s = [], 0
+    for x in xs:
+        s = max(0, s + x - k)
+        want.append(s)
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, x long"
+    )
+    w = Window.orderBy("t")
+    got = (
+        df.withColumn("cum", F.sum(F.col("x") - F.lit(k)).over(w))
+        .withColumn(
+            "s", F.col("cum") - F.least(F.lit(0), F.min("cum").over(w))
+        )
+        .orderBy("t")
+        .collect()
+    )
+    assert [r.s for r in got] == want
