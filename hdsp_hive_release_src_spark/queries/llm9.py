@@ -314,3 +314,69 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("r"), 9).alias("r_lo"),
         F.round(F.max("r"), 9).alias("r_hi"),
     )
+
+
+@query(
+    "item_cooccurrence_support",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events WHERE event_type = 'purchase'),
+    keep AS (
+      SELECT user_id FROM it GROUP BY user_id
+      HAVING count(*) BETWEEN 2 AND 200),
+    basket AS (SELECT it.user_id, it.item FROM it
+               JOIN keep USING (user_id))
+    SELECT a.item AS i1, b.item AS i2, count(*) AS support
+    FROM basket a JOIN basket b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING count(*) >= 20
+    ORDER BY i1, i2
+    """,
+)
+def item_cooccurrence_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket co-occurrence (the first stage of every
+    association-rule / item-item recommender): items bought together
+    by the same user, with minimum support. Items come from the
+    event payload (props.k). Pair generation reuses the bounded
+    sorted-postings core (llm.py): per-user baskets are collected
+    SORTED with the spillable pre-collect size filter (2 ≤ basket ≤
+    200 — a bot account with thousands of items would otherwise
+    contribute quadratically), then pairs emit via posexplode+slice
+    — no basket self-join, one scan. The oracle computes the naive
+    self-join form with the identical basket cap, so parity proves
+    the postings rewrite exact. Support/thresholds are integers."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        bounded_sorted_postings,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    it = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    baskets = bounded_sorted_postings(
+        it, ["user_id"], F.col("item"), min_df=2, max_df=200
+    )
+    pairs = (
+        baskets.select(F.posexplode("ds").alias("i", "i1"), "ds")
+        .select(
+            "i1",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("i2"),
+        )
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 20)
+        .orderBy("i1", "i2")
+    )
+    return pairs

@@ -111,6 +111,7 @@ _VERIFY_FIRST = (
     "json_schema_inference", "trimmed_mean",
     "asof_join_tolerance", "not_in_null_semantics",
     "funnel_windowed_strict", "cusum_drift_detection",
+    "item_cooccurrence_support",
 )
 
 
