@@ -685,3 +685,146 @@ def cusum_drift_detection(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                 AS next_type,
+             lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_ts
+      FROM events),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type
+      FROM ordered
+      WHERE next_type IS NOT NULL
+        AND next_ts <= CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE)
+    SELECT from_type, to_type, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*))
+                 OVER (PARTITION BY from_type), 6) AS p
+    FROM trans GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order behavioral transition matrix: for every
+    consecutive event pair of the same user within a 30-minute
+    session bound, count from→to transitions and the row-normalized
+    transition probability — the Markov input for journey analysis,
+    next-action prediction, and bot detection (a near-deterministic
+    row is a script). One window over (user_id, ts) — the same
+    single shuffle sessionization uses — then a 25-cell aggregate;
+    the probability is one division of exact counts per cell (no
+    accumulation). Deterministic tie-break on event_id."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(
+        F.col("next_type").isNotNull()
+        & (
+            F.col("next_ts")
+            <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    counts = ordered.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(wrow), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "survivorship_golden_record",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type <> 'error' THEN event_type END
+                 AS last_action,
+             CASE WHEN value > 100 THEN value END AS big_value
+      FROM events),
+    base AS (
+      SELECT user_id, max(ts) AS last_seen, count(*) AS n_sources
+      FROM src GROUP BY user_id),
+    la AS (
+      SELECT user_id, last_action FROM (
+        SELECT user_id, last_action,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM src WHERE last_action IS NOT NULL) WHERE rn = 1),
+    bv AS (
+      SELECT user_id, big_value FROM (
+        SELECT user_id, big_value,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM src WHERE big_value IS NOT NULL) WHERE rn = 1)
+    SELECT base.user_id,
+           CAST(epoch_us(last_seen) AS BIGINT) AS last_seen_us,
+           la.last_action,
+           round(coalesce(bv.big_value, 0), 2) AS last_big_value,
+           n_sources
+    FROM base LEFT JOIN la USING (user_id)
+              LEFT JOIN bv USING (user_id)
+    ORDER BY base.user_id
+    """,
+)
+def survivorship_golden_record(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MDM survivorship: the golden record merges fields from
+    DIFFERENT source rows per entity — each attribute independently
+    takes its most recent NON-NULL value (most-recent-wins per
+    field), which `dedup_keep_best`'s pick-one-row cannot express
+    (the freshest action and the freshest large transaction may live
+    on different rows). Implemented as one aggregation with
+    per-field max_by over null-filtered values (deterministic
+    (ts, event_id) recency key); DuckDB's arg_max FILTER is the
+    twin. One shuffle on the entity key, partial-aggregated —
+    survivorship at 100 TB is exactly one exchange."""
+    ev = Catalog(spark, sf_dir).events
+    src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") != "error", F.col("event_type")
+        ).alias("last_action"),
+        F.when(F.col("value") > 100, F.col("value")).alias("big_value"),
+    )
+    recency = F.struct(F.col("ts"), F.col("event_id"))
+    golden = src.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.max_by(
+            "last_action",
+            F.when(F.col("last_action").isNotNull(), recency),
+        ).alias("last_action"),
+        F.max_by(
+            "big_value",
+            F.when(F.col("big_value").isNotNull(), recency),
+        ).alias("big_value"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return golden.select(
+        "user_id",
+        F.unix_micros("last_seen").cast("long").alias("last_seen_us"),
+        "last_action",
+        F.round(F.coalesce(F.col("big_value"), F.lit(0.0)), 2).alias(
+            "last_big_value"
+        ),
+        "n_sources",
+    ).orderBy("user_id")

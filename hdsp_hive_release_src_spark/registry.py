@@ -112,6 +112,7 @@ _VERIFY_FIRST = (
     "asof_join_tolerance", "not_in_null_semantics",
     "funnel_windowed_strict", "cusum_drift_detection",
     "item_cooccurrence_support",
+    "event_transition_matrix", "survivorship_golden_record",
 )
 
 
