@@ -828,3 +828,70 @@ def survivorship_golden_record(
         ),
         "n_sources",
     ).orderBy("user_id")
+
+
+# value brackets for the range-dimension lookup (lo inclusive, hi
+# exclusive; covers the full o_totalprice domain)
+_BRACKETS = (
+    ("B1_small", 0, 50000),
+    ("B2_mid", 50000, 150000),
+    ("B3_large", 150000, 300000),
+    ("B4_jumbo", 300000, 10**9),
+)
+
+
+def _brackets_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS bracket, {lo} AS lo, {hi} AS hi"
+        for n, lo, hi in _BRACKETS
+    )
+    return f"""
+    WITH dim AS ({rows})
+    SELECT dim.bracket, count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100)
+                AS BIGINT)), 0) AS BIGINT) AS total_cents
+    FROM dim LEFT JOIN orders o
+      ON o.o_totalprice >= dim.lo AND o.o_totalprice < dim.hi
+    GROUP BY dim.bracket ORDER BY dim.bracket
+    """
+
+
+@query("range_dimension_lookup", oracle=_brackets_oracle())
+def range_dimension_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-dimension lookup: classify every fact row against a
+    TINY dimension of [lo, hi) brackets with a non-equi join — the
+    tax-bracket / rate-card / SLA-tier pattern. There is no equi
+    key, so the correct plan is a BroadcastNestedLoopJoin — usually
+    an anti-pattern, but with a 4-row broadcast side it is one scan
+    with 4 comparisons per row, strictly better than exploding the
+    fact table onto a grid. (The inverse at scale: when the dim
+    grows, switch to the grid bucketing of `interval_overlap_join`.)
+    LEFT join from the dim keeps empty brackets at zero; money rides
+    as exact integer cents."""
+    cat = Catalog(spark, sf_dir)
+    dim = spark.createDataFrame(
+        list(_BRACKETS), "bracket string, lo long, hi long"
+    )
+    o = cat.orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = F.broadcast(dim).join(
+        o,
+        (o["o_totalprice"] >= dim["lo"])
+        & (o["o_totalprice"] < dim["hi"]),
+        "left",
+    )
+    return (
+        joined.groupBy("bracket")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("bracket")
+    )

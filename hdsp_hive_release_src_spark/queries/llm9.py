@@ -380,3 +380,78 @@ def item_cooccurrence_support(
         .orderBy("i1", "i2")
     )
     return pairs
+
+
+def _langid_confusion_oracle() -> str:
+    from hdsp_hive_release_src_spark.functions.text import (
+        LANG_STOPWORDS,
+        sql_in_list,
+    )
+    from hdsp_hive_release_src_spark.queries.llm import _langid_case_sql
+
+    pred = _langid_case_sql(
+        {
+            lang: f"len(list_filter(ws, t -> t IN ({sql_in_list(ws_)})))"
+            for lang, ws_ in LANG_STOPWORDS.items()
+        }
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang AS true_lang, {pred} AS pred_lang
+      FROM (SELECT lang, string_split(text, ' ') AS ws
+            FROM documents)),
+    cm AS (
+      SELECT true_lang, pred_lang, count(*) AS n
+      FROM scored GROUP BY 1, 2),
+    tot AS (SELECT true_lang, sum(n) AS t FROM cm GROUP BY 1)
+    SELECT cm.true_lang, cm.pred_lang, cm.n,
+           round(cm.n * 1.0 / tot.t, 6) AS recall_share,
+           (cm.true_lang = cm.pred_lang) AS is_correct
+    FROM cm JOIN tot ON cm.true_lang = tot.true_lang
+    ORDER BY cm.true_lang, cm.pred_lang
+    """
+
+
+@query("langid_confusion_matrix", oracle=_langid_confusion_oracle())
+def langid_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier evaluation as a first-class pipeline query: the
+    language-ID heuristic (text_langid's stopword argmax) scored
+    against the labeled `lang` column as a full confusion matrix —
+    per (true, predicted) cell counts, per-true-label recall share,
+    and the diagonal flag. This is the quality gate a real curation
+    pipeline runs before trusting a cheap classifier to route
+    millions of documents; evaluating IN the engine (one scan + one
+    tiny aggregate) beats exporting samples to a notebook. The
+    recall share is one exact-count division per cell."""
+    from hdsp_hive_release_src_spark.functions.text import (
+        LANG_STOPWORDS,
+        stopword_hits,
+    )
+    from hdsp_hive_release_src_spark.queries.llm import _langid_case_sql
+
+    d = Catalog(spark, sf_dir).documents
+    hit_exprs = {
+        lang: stopword_hits("split(text, ' ')", words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    scored = d.select(
+        F.col("lang").alias("true_lang"),
+        F.expr(_langid_case_sql(hit_exprs)).alias("pred_lang"),
+    )
+    cm = scored.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("true_lang")
+    return (
+        cm.withColumn(
+            "recall_share", F.round(F.col("n") / F.sum("n").over(wt), 6)
+        )
+        .withColumn(
+            "is_correct", F.col("true_lang") == F.col("pred_lang")
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -113,6 +113,7 @@ _VERIFY_FIRST = (
     "funnel_windowed_strict", "cusum_drift_detection",
     "item_cooccurrence_support",
     "event_transition_matrix", "survivorship_golden_record",
+    "langid_confusion_matrix", "range_dimension_lookup",
 )
 
 
