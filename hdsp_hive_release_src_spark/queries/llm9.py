@@ -316,9 +316,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Minimum pair support. 5 is deliberately scale-aware: at the sf0.01
+# correctness gate the pair-support distribution tops out below 10
+# (357 pairs at >= 5, zero at >= 10), so a higher floor would make the
+# oracle verify the empty set and prove nothing about the pair core.
+# tests/test_nonvacuous.py asserts non-empty output at gate scale.
+COOCCURRENCE_MIN_SUPPORT = 5
+
+
 @query(
     "item_cooccurrence_support",
-    oracle="""
+    oracle=f"""
     WITH it AS (
       SELECT DISTINCT user_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
@@ -332,7 +340,7 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM basket a JOIN basket b
       ON a.user_id = b.user_id AND a.item < b.item
     GROUP BY a.item, b.item
-    HAVING count(*) >= 20
+    HAVING count(*) >= {COOCCURRENCE_MIN_SUPPORT}
     ORDER BY i1, i2
     """,
 )
@@ -376,7 +384,7 @@ def item_cooccurrence_support(
         )
         .groupBy("i1", "i2")
         .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 20)
+        .where(F.col("support") >= COOCCURRENCE_MIN_SUPPORT)
         .orderBy("i1", "i2")
     )
     return pairs

@@ -41,68 +41,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # --- round 6, positions 1-50 = the driver's sampling window ---
-    # 1: the one red r5 row, rewritten to be cross-engine
-    # deterministic (exact bucket counts + quantized-ratio sorted
-    # fold, llm8.py)
-    "dsir_importance_weights",
-    # 2-7: implementations changed in r5/r6 whose latest green rows
-    # predate the change (the advisor's medium item): the r5
-    # bounded-postings rewrite of the pair generators (+ r6
-    # lsh/simhash banded-frame extraction), the r6 semantic_dedup
-    # cell cap, the r6 foreachbatch integer-cents state, and the r5
-    # stream-reader conf rework's representative
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "semantic_dedup", "stream_foreachbatch_upsert",
-    "stream_windowed_counts",
-    # 8-10: brand new round-6 surfaces
-    "informational_constraints_ddl", "show_create_table",
-    "describe_formatted",
-    # 11-47: every remaining round-4 addition that has NEVER had a
-    # driver row (two rounds stale; all pass the local gate replica)
-    "array_custom_sort", "array_funcs_wave2", "asof_join_forward",
-    "bigram_lm_score", "bitmap_distinct_agg", "blocked_fuzzy_join",
-    "chunk_dedup_exact", "column_profile", "date_parse_formats",
-    "date_trunc_variants", "delete_update_emulation",
-    "distribution_entropy", "event_count_anomaly",
-    "explode_map_entries", "group_size_skew_profile",
-    "interval_arithmetic", "join_hint_strategies",
-    "json_array_explode", "kl_divergence_drift", "listagg_distinct",
-    "median_boolean_aggs", "mode_deterministic",
-    "nested_types_roundtrip", "pagerank_trade_graph",
-    "pivot_dynamic", "quantity_expansion", "range_frame_numeric",
-    "ratio_to_report", "regr_aggregates", "sequence_gap_detection",
-    "session_first_touch_attribution", "skewness_kurtosis_moments",
-    "time_to_convert", "try_cast_family",
-    "weighted_median", "windowed_distinct_count", "zscore_outliers",
-    # 48-50: never-checked round-5 additions closest to changed code
-    # (threshold sweep shares the reworked pair core)
-    "dedup_threshold_sweep", "string_funcs_wave4",
-    "embedding_norm_outliers",
-    # --- past the 50 cut: rotate to the front next round ---
-    # remaining never-checked round-5 additions (all gate-replica
-    # green, none changed since registration)
+    # --- round 7, positions 1-50 = the driver's sampling window ---
+    # 1: changed this round — support floor lowered from 20 to 5 so
+    # the gate-scale output is non-empty (the r6 verdict's one weak
+    # item: >= 20 yields 0 rows at sf0.01, a vacuous oracle match)
+    "item_cooccurrence_support",
+    # 2-32: every query that has NEVER had a driver correctness row
+    # (late round-5/round-6 additions; all pass the local sf0.01 gate
+    # replica — one window converts the scoreboard to hard green)
     "csv_options_matrix", "parquet_compression_codecs",
     "unicode_roundtrip", "database_namespace_ddl",
     "table_properties_ddl", "global_temp_view",
     "ngram_novelty_score", "order_fulfillment_lag",
     "stratified_eval_split", "supplier_concentration_hhi",
     "vocab_coverage_audit", "watermark_lateness_profile",
-    # streaming family whose shared read_events_stream conf handling
-    # changed in r5: green rows predate that change; foreachbatch +
-    # windowed_counts above re-certify the shared path this round,
-    # the rest re-sample next window
-    "quality_filter_pipeline",
-    "stream_sessionization", "stream_stateful_user_agg",
-    "stream_stream_join", "stream_parquet_sink", "stream_dedup",
-    "stream_late_data", "stream_dedup_within_watermark",
-    "stream_static_join",
-    # round-6 ranking.py null-range change: these three re-certified
-    # in the r5 window AFTER the exact-ntile rewrite; the r6 delta is
-    # a null branch their non-null value columns never take (replica
-    # re-verified this round), so they queue behind never-checked work
-    "window_ntile", "histogram_equi_depth", "quantile_normalize",
-    # late round-6 additions (gate-replica green; next window)
     "heavy_hitters_topk", "url_canonical_dedup",
     "minhash_estimate_accuracy",
     "rls_secure_view", "approx_quantile_rank_contract",
@@ -111,9 +63,23 @@ _VERIFY_FIRST = (
     "json_schema_inference", "trimmed_mean",
     "asof_join_tolerance", "not_in_null_semantics",
     "funnel_windowed_strict", "cusum_drift_detection",
-    "item_cooccurrence_support",
     "event_transition_matrix", "survivorship_golden_record",
     "langid_confusion_matrix", "range_dimension_lookup",
+    # 33-41: streaming family whose shared read_events_stream conf
+    # handling changed in r5; foreachbatch + windowed_counts
+    # re-certified in the r6 window, these nine close out the family
+    "stream_sessionization", "stream_stateful_user_agg",
+    "stream_stream_join", "stream_parquet_sink", "stream_dedup",
+    "stream_late_data", "stream_dedup_within_watermark",
+    "stream_static_join", "quality_filter_pipeline",
+    # 42-44: round-6 ranking.py null-range change re-certs (replica
+    # green; the r6 delta is a null branch their value columns never
+    # take, queued behind never-checked work per the rotation rule)
+    "window_ntile", "histogram_equi_depth", "quantile_normalize",
+    # 45-50: new round-7 queries (added this round, never checked)
+    "cluster_by_clause", "explain_plan_surface",
+    "bm25_ranked_retrieval", "distinct_set_algebra",
+    "boilerplate_position_bias", "crypto_funcs_roundtrip",
 )
 
 
@@ -165,6 +131,7 @@ def load_all() -> None:
         catalog_surface,
         llm9,
         governance_surface,
+        round7,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

@@ -17,6 +17,16 @@ from tests.conftest import oracle_compare
 
 load_all()
 
+#: queries whose output is legitimately empty at sf0.001 SMOKE scale
+#: (thresholds sized for the sf0.01 gate, where both are non-empty —
+#: asserted at gate scale in tests/test_nonvacuous.py). Anything else
+#: producing 0 rows is a vacuous oracle match (the r6 verdict's weak
+#: class) and fails here.
+SMOKE_EMPTY_OK = frozenset({
+    "item_cooccurrence_support",  # min support 5 needs sf0.01 density
+    "q7_volume_shipping",  # 1995-1996 ship-year pairs absent at sf0.001
+})
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_parity_all(name, spark, sf_dir, duck):
@@ -31,7 +41,12 @@ def test_oracle_parity_all(name, spark, sf_dir, duck):
     # fuzzy_match lists) kill the row before comparison. Every
     # registered query must survive the pandas conversion, not just
     # collect().
-    df.toPandas()
+    pdf = df.toPandas()
+    if name not in SMOKE_EMPTY_OK:
+        assert len(pdf) >= 1, (
+            "empty output at smoke scale — a green oracle row would be "
+            "vacuous; lower the threshold or whitelist with a reason"
+        )
     if name in ORACLES:
         oracle_compare(df, duck, ORACLES[name])
     else:
