@@ -158,6 +158,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         build(src, dst, 10)
         complete.write_text(fingerprint)
     timings: dict[str, float] = {}
+    rows_per_sec: dict[str, float] = {}
     for name in STRESS_QUERIES:
         if time.time() - t_start > budget:
             timings[name] = -1.0  # budget cut — visible, not silent
@@ -165,12 +166,19 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         t0 = time.time()
         n = registry.QUERIES[name](spark, dst).count()
         timings[name] = round(time.time() - t0, 3)
+        # output rate in-band: the clone-saturated replica makes the
+        # dedup family output-bound (every embedding has 9 verbatim
+        # twins), so wall-clock alone misreads as a regression —
+        # pairs/s makes the regime self-explaining in the JSON
+        if timings[name] > 0:
+            rows_per_sec[name] = round(n / timings[name], 1)
         print(f"# stress10x {name}: {timings[name]}s ({n} rows)",
               file=sys.stderr)
     return {
         "sf_equivalent": 1.0,
         "unit": "sec",
         "queries": timings,
+        "output_rows_per_sec": rows_per_sec,
         "value": round(sum(v for v in timings.values() if v > 0), 3),
     }
 

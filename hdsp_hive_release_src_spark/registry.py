@@ -80,6 +80,14 @@ _VERIFY_FIRST = (
     "cluster_by_clause", "explain_plan_surface",
     "bm25_ranked_retrieval", "distinct_set_algebra",
     "boilerplate_position_bias", "crypto_funcs_roundtrip",
+    # --- past the 50 cut: later round-7 additions, rotate to the
+    # front of the r8 window ---
+    "string_funcs_wave5", "bitwise_agg_funcs",
+    "conditional_agg_family", "map_higher_order2",
+    "width_bucket_binning", "identifier_clause",
+    "posexplode_outer_empty",
+    "duplicate_cluster_histogram", "dedup_rate_by_source",
+    "prefix_fingerprint_dedup", "eval_overlap_leakage",
 )
 
 
@@ -132,6 +140,8 @@ def load_all() -> None:
         llm9,
         governance_surface,
         round7,
+        functions_suite7,
+        llm10,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

@@ -45,6 +45,10 @@ DETECTOR_FLOORS = {
     "semantic_dedup": 5,
     "heavy_hitters_topk": 1,
     "decontaminate_ngrams": 5,
+    # round-7 prefix-fingerprint family (keyed on the 64-char prefix
+    # precisely because full-hash structure is empty at gate scale)
+    "duplicate_cluster_histogram": 2,  # needs a size>1 bucket to exist
+    "prefix_fingerprint_dedup": 10,
 }
 
 
@@ -59,3 +63,16 @@ def test_detector_signal_at_gate_scale(name, spark):
         f"{name}: {n} rows at gate scale, floor "
         f"{DETECTOR_FLOORS[name]} — threshold gone vacuous?"
     )
+
+
+def test_leakage_audit_reports_real_leaks(spark):
+    """eval_overlap_leakage always emits exactly one row — vacuity
+    lives in its VALUES: all-zero leak counters would verify nothing.
+    The prefix-fingerprint key guarantees real cross-split families
+    at gate scale."""
+    from hdsp_hive_release_src_spark.session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    r = QUERIES["eval_overlap_leakage"](spark, SF_ORACLE).collect()[0]
+    assert r.leaked_texts > 0 and r.leaked_pairs >= r.leaked_texts
+    assert r.contaminated_eval_docs > 0
