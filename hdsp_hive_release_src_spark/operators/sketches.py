@@ -69,12 +69,24 @@ def heavy_hitters(
     filter runs as integer arithmetic (n * den > N) so a float ε·N
     within an ulp of an integer can never flip the boundary item.
     Returns (item, n, frac): n exact, frac = n/N rounded to 6 (one
-    int/int division, no accumulation-order hazard)."""
+    int/int division, no accumulation-order hazard).
+
+    Null rows are excluded up front: value_counts drops them in pass 1
+    and the equality join can't match them in pass 2, so leaving them
+    in N would both dilute every item's threshold and silently skip a
+    null "value" that exceeds eps*N. The input column is also aliased
+    to a reserved name so a source column literally named 'item'/'n'
+    can't collide with the sketch's internals."""
     k = den + 1
-    cand = mg_candidates(df, col, k).distinct()
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    vals = df.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("__hh_val")
+    )
+    cand = mg_candidates(vals, "__hh_val", k).distinct()
+    total = vals.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        df.join(F.broadcast(cand), df[col] == F.col("item"), "inner")
+        vals.join(
+            F.broadcast(cand), F.col("__hh_val") == F.col("item"), "inner"
+        )
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(F.broadcast(total))

@@ -342,10 +342,14 @@ def json_schema_inference(
     sample = (
         ev.orderBy("event_id").select("props").limit(1).collect()[0][0]
     )
-    esc = sample.replace("'", "''")
-    schema_str = spark.sql(
-        f"SELECT schema_of_json('{esc}') AS s"
-    ).collect()[0][0]
+    # schema_of_json over a literal Column — no hand-built SQL string,
+    # so backslashes/quotes in the sampled document can't be re-parsed
+    # as SQL escapes and corrupt the sample
+    schema_str = (
+        spark.range(1)
+        .select(F.schema_of_json(F.lit(sample)).alias("s"))
+        .collect()[0][0]
+    )
     parsed = ev.select(
         F.from_json(F.col("props"), schema_str).alias("j")
     ).where(F.col("j.k").isNotNull())

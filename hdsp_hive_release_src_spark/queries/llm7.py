@@ -46,7 +46,10 @@ SEMANTIC_MAX_CELL = 1000
 # DISTINCT density and the emitted output — run like a real pipeline:
 # exact dedup first, semantic blocking second, one operator. DuckDB
 # replays the identical grouping + assignment, so parity is full.
-_DUCK_BLOCKED = """
+# The cell cap is interpolated from SEMANTIC_MAX_CELL so both engines
+# share one definition (a drifted hardcode would break parity
+# silently instead of failing at the definition site).
+_DUCK_BLOCKED = f"""
     raw AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
@@ -74,7 +77,7 @@ _DUCK_BLOCKED = """
     m AS (
       SELECT cid, vec_id, v, nrm FROM (
         SELECT *, count(*) OVER (PARTITION BY cid) AS csz FROM m0)
-      WHERE csz <= 1000)
+      WHERE csz <= {SEMANTIC_MAX_CELL})
 """
 
 

@@ -88,7 +88,10 @@ _URL_ORACLE = """
                   length(regexp_extract(x, '^[A-Za-z]+://[^/?#]+')) + 1)
                  AS x
       FROM s1),
-    s3 AS (SELECT doc_id, replace(x, ':443/', '/') AS x FROM s2),
+    s3 AS (SELECT doc_id,
+                  regexp_replace(x, '^([a-z]+://[^/:?#]+):443([/?#]|$)',
+                                 '\\1\\2') AS x
+           FROM s2),
     s4 AS (SELECT doc_id,
                   regexp_replace(x, 'utm_[a-z]+=[^&#]*&?', '', 'g') AS x
            FROM s3),
@@ -145,7 +148,11 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.concat(
         F.lower(auth), F.substring(x, F.length(auth) + 1, 1_000_000)
     )
-    x = F.replace(x, F.lit(":443/"), F.lit("/"))
+    # port strip anchored to the authority component: a ':443/'
+    # appearing later in the path or query must survive
+    x = F.regexp_replace(
+        x, "^([a-z]+://[^/:?#]+):443([/?#]|$)", "$1$2"
+    )
     x = F.regexp_replace(x, "utm_[a-z]+=[^&#]*&?", "")
     canonical = F.regexp_replace(x, "[?&]+$", "")
     return (

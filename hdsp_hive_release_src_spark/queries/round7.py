@@ -233,11 +233,15 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "doc_id", F.round(score, 6).alias("bm25")
     )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # partial top-50, no global sort/shuffle), THEN rank inside the 50
+    # survivors. Rank within the top-k set equals global rank for
+    # every surviving row: rank counts strictly-greater scores, and
+    # all of those sort into the top-k ahead of the row.
+    topk = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
     w = Window.orderBy(F.col("bm25").desc())
-    return (
-        scored.withColumn("rnk", F.rank().over(w))
-        .orderBy("rnk", "doc_id")
-        .limit(50)
+    return topk.withColumn("rnk", F.rank().over(w)).orderBy(
+        "rnk", "doc_id"
     )
 
 
