@@ -88,6 +88,8 @@ _VERIFY_FIRST = (
     "posexplode_outer_empty",
     "duplicate_cluster_histogram", "dedup_rate_by_source",
     "prefix_fingerprint_dedup", "eval_overlap_leakage",
+    "mask_funcs", "sentences_tokenize", "binary_codec_roundtrip",
+    "xml_roundtrip",
 )
 
 
@@ -142,6 +144,7 @@ def load_all() -> None:
         round7,
         functions_suite7,
         llm10,
+        functions_suite8,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
