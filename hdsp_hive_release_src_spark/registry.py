@@ -89,7 +89,7 @@ _VERIFY_FIRST = (
     "duplicate_cluster_histogram", "dedup_rate_by_source",
     "prefix_fingerprint_dedup", "eval_overlap_leakage",
     "mask_funcs", "sentences_tokenize", "binary_codec_roundtrip",
-    "xml_roundtrip",
+    "xml_roundtrip", "math_funcs_wave2", "datetime_constructors",
 )
 
 
@@ -145,6 +145,7 @@ def load_all() -> None:
         functions_suite7,
         llm10,
         functions_suite8,
+        math_datetime_suite,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
