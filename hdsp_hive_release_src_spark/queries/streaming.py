@@ -222,3 +222,67 @@ def stream_trigger_available_now(
     trigger_available_now) — self-terminating incremental batch run,
     result ≡ the batch aggregation."""
     return jobs.trigger_available_now(spark, sf_dir)
+
+
+#: rate-micro-batch parameters, shared with the arithmetic oracle.
+_RATE_ROWS = 512
+_RATE_START_MS = 1_600_000_000_000
+
+
+@query(
+    "stream_rate_source",
+    oracle=f"""
+    WITH v AS (SELECT unnest(range(0, {_RATE_ROWS})) AS value)
+    SELECT CAST(value % 8 AS BIGINT) AS lane,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS BIGINT) AS value_sum,
+           CAST(min(value) AS BIGINT) AS lo,
+           CAST(max(value) AS BIGINT) AS hi,
+           strftime(to_timestamp({_RATE_START_MS} / 1000)
+                    AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS batch_ts
+    FROM v GROUP BY lane ORDER BY lane
+    """,
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rate-micro-batch built-in streaming SOURCE (the second
+    jar-free source next to the file source the rest of the family
+    reads): deterministic generated batches — rowsPerBatch rows with
+    values 0..n-1 and a fixed startTimestamp per batch — consumed
+    with trigger(availableNow) into a memory sink, then aggregated
+    into 8 lanes. Because generation is arithmetic, the oracle is
+    closed-form (range + modulo), giving a FULL value-parity check of
+    a streaming source+trigger path with zero filesystem dependency.
+    This is also the load-generator used for throughput smoke tests
+    on real clusters."""
+    from pyspark.sql import functions as F
+
+    name = "rate_src_r7"
+    df = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", _RATE_ROWS)
+        .option("numPartitions", 4)
+        .option("startTimestamp", _RATE_START_MS)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy((F.col("value") % 8).alias("lane"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").cast("long").alias("value_sum"),
+            F.min("value").cast("long").alias("lo"),
+            F.max("value").cast("long").alias("hi"),
+            F.date_format(
+                F.min("timestamp"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("batch_ts"),
+        )
+        .orderBy("lane")
+    )

@@ -90,6 +90,7 @@ _VERIFY_FIRST = (
     "prefix_fingerprint_dedup", "eval_overlap_leakage",
     "mask_funcs", "sentences_tokenize", "binary_codec_roundtrip",
     "xml_roundtrip", "math_funcs_wave2", "datetime_constructors",
+    "triangle_clustering_coeff", "stream_rate_source",
 )
 
 
