@@ -91,6 +91,7 @@ _VERIFY_FIRST = (
     "mask_funcs", "sentences_tokenize", "binary_codec_roundtrip",
     "xml_roundtrip", "math_funcs_wave2", "datetime_constructors",
     "triangle_clustering_coeff", "stream_rate_source",
+    "geo_haversine_rings", "nearest_hub_assignment",
 )
 
 
@@ -147,6 +148,7 @@ def load_all() -> None:
         llm10,
         functions_suite8,
         math_datetime_suite,
+        geo_suite,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
