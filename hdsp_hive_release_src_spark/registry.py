@@ -92,6 +92,9 @@ _VERIFY_FIRST = (
     "xml_roundtrip", "math_funcs_wave2", "datetime_constructors",
     "triangle_clustering_coeff", "stream_rate_source",
     "geo_haversine_rings", "nearest_hub_assignment",
+    "array_access_semantics", "pop_variance_family",
+    "extract_field_matrix", "nondeterministic_funcs_contract",
+    "variant_functions_wave2",
 )
 
 
@@ -149,6 +152,7 @@ def load_all() -> None:
         functions_suite8,
         math_datetime_suite,
         geo_suite,
+        functions_suite9,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
