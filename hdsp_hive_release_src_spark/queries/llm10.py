@@ -246,3 +246,114 @@ def eval_overlap_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contaminated_eval_docs"),
     )
+
+
+# --- Count-Min sketch (fully deterministic, cross-engine) ------------
+
+#: CMS geometry + pairwise-independent hash coefficients h_j(x) =
+#: ((a_j * x + b_j) mod P) mod W. P = 2^31 - 1 keeps a_j * x inside
+#: int64 for any x < 2^31, so BOTH engines compute the identical
+#: exact integer — the property that makes the whole sketch
+#: oracle-hashable (an md5/xxhash bucket map would differ or need
+#: engine-specific hex plumbing).
+CMS_P = 2_147_483_647
+CMS_W = 256
+CMS_HASHES = ((911, 13), (1559, 101), (2731, 577), (3643, 1009))
+CMS_TOPN = 20
+
+
+def _cms_oracle() -> str:
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {a} AS a, {b} AS b"
+        for j, (a, b) in enumerate(CMS_HASHES)
+    )
+    return f"""
+    WITH hashes AS ({hash_rows}),
+    ev AS (SELECT user_id FROM events),
+    counters AS (
+      SELECT j, ((a * user_id + b) % {CMS_P}) % {CMS_W} AS bkt,
+             count(*) AS c
+      FROM ev CROSS JOIN hashes GROUP BY 1, 2),
+    exact AS (
+      SELECT user_id, count(*) AS n FROM ev GROUP BY user_id),
+    top AS (
+      SELECT user_id, n FROM exact
+      ORDER BY n DESC, user_id LIMIT {CMS_TOPN}),
+    est AS (
+      SELECT t.user_id, t.n, min(c.c) AS cms_est
+      FROM top t CROSS JOIN hashes h
+      JOIN counters c
+        ON c.j = h.j
+       AND c.bkt = ((h.a * t.user_id + h.b) % {CMS_P}) % {CMS_W}
+      GROUP BY t.user_id, t.n)
+    SELECT user_id, CAST(n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= n AS never_undercounts,
+           CAST(cms_est - n AS BIGINT) AS overcount
+    FROM est ORDER BY exact_n DESC, user_id
+    """
+
+
+@query("count_min_sketch_freq", oracle=_cms_oracle())
+def count_min_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, end to end and fully
+    deterministic: the counter matrix (depth {len} × width {W}) is
+    built with ONE groupBy over (row, bucket) — the shuffle carries
+    at most depth×width integer cells no matter how large the event
+    stream is, which is the entire point of the sketch at 100 TB
+    (mergeable partial counters, map-side combined). Estimates for
+    the top-{N} heaviest users then join back against the tiny
+    counter table (broadcast by construction) and the output pins
+    the sketch's one-sided error contract: cms_est >= exact always,
+    with the overcount shown. Affine hashes over P = 2^31-1 keep
+    every intermediate inside exact int64 range, so DuckDB replays
+    the identical sketch cell for cell."""
+    ev = Catalog(spark, sf_dir).events.select("user_id")
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for j, (a, b) in enumerate(CMS_HASHES)
+        ]
+    )
+    hashed = ev.select(
+        "user_id", F.explode(hashes).alias("h")
+    ).select(
+        "user_id",
+        F.col("h.j").alias("j"),
+        (
+            ((F.col("h.a") * F.col("user_id") + F.col("h.b")) % CMS_P)
+            % CMS_W
+        ).alias("bkt"),
+    )
+    counters = hashed.groupBy("j", "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.col("n").desc(), "user_id").limit(CMS_TOPN)
+    top_bkts = top.select(
+        "user_id", "n", F.explode(hashes).alias("h")
+    ).select(
+        "user_id",
+        "n",
+        F.col("h.j").alias("j"),
+        (
+            ((F.col("h.a") * F.col("user_id") + F.col("h.b")) % CMS_P)
+            % CMS_W
+        ).alias("bkt"),
+    )
+    est = (
+        top_bkts.join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long"),
+        (F.col("cms_est") >= F.col("n")).alias("never_undercounts"),
+        (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), "user_id")

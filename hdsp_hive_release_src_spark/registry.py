@@ -94,7 +94,7 @@ _VERIFY_FIRST = (
     "geo_haversine_rings", "nearest_hub_assignment",
     "array_access_semantics", "pop_variance_family",
     "extract_field_matrix", "nondeterministic_funcs_contract",
-    "variant_functions_wave2",
+    "variant_functions_wave2", "count_min_sketch_freq",
 )
 
 
