@@ -1,0 +1,227 @@
+"""SURVEY.md §2.2/§2.3 round-7 — classic warehouse product analytics:
+
+- ``rfm_segmentation`` — recency/frequency/monetary quartile scoring
+  (the standard CRM segmentation). Monetary is exact integer cents;
+  every quartile is an ntile over a TOTAL order (metric, user_id), so
+  assignment is deterministic in both engines.
+- ``trending_items_daily`` — per-day top-3 items by event count (the
+  trending-now rollup); rank over (count desc, item) is total-ordered.
+- ``kmv_distinct_estimate`` — K-Minimum-Values distinct-count
+  estimation with the same int64-exact affine hashing as the CMS /
+  Bloom family: the k-th smallest hash over the distinct stream gives
+  est = (k-1)·P / h_k; output pins estimate vs exact with integer
+  permille error. The k-smallest selection is a distributed
+  TakeOrdered (per-partition partial top-k), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.queries.llm10 import CMS_P
+from hdsp_hive_release_src_spark.registry import query
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx
+                    FROM events),
+    base AS (
+      SELECT user_id,
+             date_diff('day',
+                       CAST(max(CAST(ts AS TIMESTAMP)) AS DATE),
+                       CAST(anchor.mx AS DATE)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM events CROSS JOIN anchor
+      GROUP BY user_id, anchor.mx),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days ASC, user_id)
+                 AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+                 AS m_q
+      FROM base)
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+           r_q, f_q, m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+    FROM scored ORDER BY user_id
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the standard CRM cut. Recency anchors on the corpus max
+    timestamp (1-row broadcast, so the query is reproducible instead
+    of wall-clock dependent); monetary is exact integer cents (the
+    cents idiom — a float sum would be accumulation-order noise);
+    each quartile is ntile(4) over a TOTAL order with user_id
+    tie-break, making assignment deterministic cross-engine. At
+    scale the ntile windows are the only global orderings — swap for
+    the exact-ntile range-split operator (operators/ranking.py) when
+    the user dimension outgrows one partition's sort."""
+    ev = Catalog(spark, sf_dir).events
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    base = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.datediff(
+                F.col("mx"), F.max(F.col("ts").cast("date"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .drop("mx")
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return (
+        base.select(
+            "user_id",
+            F.col("recency_days").cast("long"),
+            F.col("frequency").cast("long"),
+            "monetary_cents",
+            F.ntile(4).over(r_w).alias("r_q"),
+            F.ntile(4).over(f_w).alias("f_q"),
+            F.ntile(4).over(m_w).alias("m_q"),
+        )
+        .withColumn(
+            "rfm_code",
+            (
+                F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
+            ).cast("int"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "trending_items_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS day,
+             CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS item,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, rank() OVER (PARTITION BY day
+                             ORDER BY n DESC, item) AS rnk
+      FROM daily)
+    SELECT day, item, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY day, rnk, item
+    """,
+)
+def trending_items_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 trending items (the "trending now" rollup): one
+    (day, item) count aggregation, then a rank window PARTITIONED BY
+    day — the partitioned window is the scale-safe shape (each day
+    sorts independently; no global ordering anywhere). Rank ties
+    break on item id in both engines."""
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.get_json_object("props", "$.k")
+            .cast("long")
+            .alias("item"),
+        )
+        .groupBy("day", "item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("item")
+    )
+    return (
+        daily.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "day",
+            "item",
+            F.col("n").cast("long"),
+            F.col("rnk").cast("int"),
+        )
+        .orderBy("day", "rnk", "item")
+    )
+
+
+#: KMV parameters: k minimum values under the affine hash (a, b) over
+#: the shared prime CMS_P. k = 8 so the estimator stays defined at
+#: smoke scale too (sf0.001 has only 15 distinct users; k must not
+#: exceed the distinct count or the k-th minimum doesn't exist).
+KMV_K = 8
+KMV_A, KMV_B = 6361, 499
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH ids AS (SELECT DISTINCT user_id FROM events),
+    hashed AS (
+      SELECT user_id,
+             ({KMV_A} * user_id + {KMV_B}) % {CMS_P} AS h
+      FROM ids),
+    kth AS (
+      SELECT h FROM hashed ORDER BY h, user_id
+      LIMIT 1 OFFSET {KMV_K - 1})
+    SELECT CAST({KMV_K} AS INT) AS k,
+           CAST(kth.h AS BIGINT) AS kth_hash,
+           CAST(CAST({KMV_K} - 1 AS BIGINT) * {CMS_P} // kth.h AS BIGINT)
+               AS estimated_distinct,
+           CAST((SELECT count(*) FROM ids) AS BIGINT)
+               AS exact_distinct,
+           CAST(abs(CAST({KMV_K} - 1 AS BIGINT) * {CMS_P} // kth.h
+                    - (SELECT count(*) FROM ids)) * 1000
+                // (SELECT count(*) FROM ids) AS BIGINT)
+               AS err_permille
+    FROM kth
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct estimation: hash every distinct id
+    with the int64-exact affine map, keep the k smallest hashes (a
+    distributed TakeOrdered — per-partition partial top-k, no global
+    sort), and estimate |D| ≈ (k-1)·P / h_(k). The mergeable-sketch
+    cousin of HLL with an exactly replayable hash, so the oracle
+    pins estimate AND error, not just "close enough". Integer
+    division throughout."""
+    ev = Catalog(spark, sf_dir).events
+    ids = ev.select("user_id").distinct()
+    hashed = ids.select(
+        "user_id",
+        ((F.lit(KMV_A) * F.col("user_id") + KMV_B) % CMS_P).alias("h"),
+    )
+    kth = (
+        hashed.orderBy("h", "user_id")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"))
+    )
+    exact = ids.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).cast("int").alias("k"),
+            F.col("kth_hash").cast("long"),
+            F.expr(f"({KMV_K} - 1) * cast({CMS_P} as bigint) div kth_hash")
+            .cast("long")
+            .alias("estimated_distinct"),
+            F.col("exact_distinct").cast("long"),
+            F.expr(
+                f"abs(({KMV_K} - 1) * cast({CMS_P} as bigint)"
+                " div kth_hash"
+                " - exact_distinct) * 1000 div exact_distinct"
+            )
+            .cast("long")
+            .alias("err_permille"),
+        )
+    )

@@ -357,3 +357,121 @@ def count_min_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") >= F.col("n")).alias("never_undercounts"),
         (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
     ).orderBy(F.col("exact_n").desc(), "user_id")
+
+
+# --- Bloom filter membership (deterministic, cross-engine) -----------
+
+#: bloom geometry: m bits, k affine hashes (same int64-exact trick as
+#: the CMS above). m is DELIBERATELY small relative to the member set
+#: so the gate-scale output exhibits real false positives (an
+#: oversized filter would make the FP lanes vacuous zeros) — the
+#: production sizing lever is documented in the docstring.
+BLOOM_M = 128
+BLOOM_HASHES = ((4099, 7), (5527, 271), (7919, 911))
+#: membership floor: users with at least this many purchase events.
+BLOOM_MIN_PURCHASES = 15
+
+
+def _bloom_oracle() -> str:
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {a} AS a, {b} AS b" for a, b in BLOOM_HASHES
+    )
+    k = len(BLOOM_HASHES)
+    return f"""
+    WITH hashes AS ({hash_rows}),
+    members AS (
+      SELECT user_id FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING count(*) >= {BLOOM_MIN_PURCHASES}),
+    bits AS (
+      SELECT DISTINCT ((a * user_id + b) % {CMS_P}) % {BLOOM_M} AS bit
+      FROM members CROSS JOIN hashes),
+    tested AS (SELECT DISTINCT user_id FROM events),
+    hits AS (
+      SELECT t.user_id, count(*) AS nbits
+      FROM tested t CROSS JOIN hashes h
+      JOIN bits ON bits.bit =
+           ((h.a * t.user_id + h.b) % {CMS_P}) % {BLOOM_M}
+      GROUP BY t.user_id),
+    flagged AS (
+      SELECT user_id FROM hits WHERE nbits = {k})
+    SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM tested) AS BIGINT) AS n_tested,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_flagged,
+           CAST((SELECT count(*) FROM flagged f
+                 LEFT JOIN members m ON f.user_id = m.user_id
+                 WHERE m.user_id IS NULL) AS BIGINT) AS n_false_pos,
+           CAST((SELECT count(*) FROM members m
+                 LEFT JOIN flagged f ON f.user_id = m.user_id
+                 WHERE f.user_id IS NULL) AS BIGINT) AS n_false_neg
+    """
+
+
+@query("bloom_filter_membership", oracle=_bloom_oracle())
+def bloom_filter_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter membership, built as data: the purchase-user set
+    is folded into an m={M}-bit filter via {k} affine hashes (ONE
+    distinct-agg whose output is at most m rows — the broadcastable
+    pre-filter a 100 TB anti-join pipeline ships to every executor),
+    then the full user population probes it. The output pins the
+    filter's defining contract — ZERO false negatives — alongside the
+    measured false-positive count. Every hash is int64-exact, so
+    DuckDB rebuilds the identical bit set."""
+    ev = Catalog(spark, sf_dir).events
+    hashes = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in BLOOM_HASHES
+        ]
+    )
+    k = len(BLOOM_HASHES)
+
+    def bit_col(df):
+        return df.select(
+            "user_id", F.explode(hashes).alias("h")
+        ).select(
+            "user_id",
+            (
+                ((F.col("h.a") * F.col("user_id") + F.col("h.b")) % CMS_P)
+                % BLOOM_M
+            ).alias("bit"),
+        )
+
+    members = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_np"))
+        .where(F.col("_np") >= BLOOM_MIN_PURCHASES)
+        .select("user_id")
+    )
+    bits = bit_col(members).select("bit").distinct()
+    tested = ev.select("user_id").distinct()
+    hits = (
+        bit_col(tested)
+        .join(F.broadcast(bits), "bit")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+    )
+    flagged = hits.where(F.col("nbits") == k).select("user_id")
+    m_flag = members.withColumn("is_m", F.lit(1)).join(
+        flagged.withColumn("is_f", F.lit(1)), "user_id", "full"
+    )
+    counts = m_flag.agg(
+        F.sum("is_m").cast("long").alias("n_members"),
+        F.sum("is_f").cast("long").alias("n_flagged"),
+        F.sum(F.when(F.col("is_m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    n_tested = tested.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tested")
+    )
+    return counts.crossJoin(F.broadcast(n_tested)).select(
+        "n_members", "n_tested", "n_flagged", "n_false_pos",
+        "n_false_neg",
+    )

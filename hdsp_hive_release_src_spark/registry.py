@@ -95,6 +95,8 @@ _VERIFY_FIRST = (
     "array_access_semantics", "pop_variance_family",
     "extract_field_matrix", "nondeterministic_funcs_contract",
     "variant_functions_wave2", "count_min_sketch_freq",
+    "bloom_filter_membership", "rfm_segmentation",
+    "trending_items_daily", "kmv_distinct_estimate",
 )
 
 
@@ -153,6 +155,7 @@ def load_all() -> None:
         math_datetime_suite,
         geo_suite,
         functions_suite9,
+        analytics3,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

@@ -65,6 +65,28 @@ def test_detector_signal_at_gate_scale(name, spark):
     )
 
 
+def test_bloom_filter_exhibits_false_positives(spark):
+    """bloom_filter_membership is one row; its vacuity lives in the
+    values. The filter is sized small on purpose so gate-scale output
+    shows real false positives — and the defining contract (zero
+    false negatives) must hold."""
+    from hdsp_hive_release_src_spark.session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    r = QUERIES["bloom_filter_membership"](spark, SF_ORACLE).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_false_pos > 0
+    assert r.n_flagged == r.n_members + r.n_false_pos
+
+
+def test_cms_never_undercounts(spark):
+    from hdsp_hive_release_src_spark.session import tune_for_oracle
+
+    tune_for_oracle(spark)
+    rows = QUERIES["count_min_sketch_freq"](spark, SF_ORACLE).collect()
+    assert rows and all(r.never_undercounts for r in rows)
+
+
 def test_leakage_audit_reports_real_leaks(spark):
     """eval_overlap_leakage always emits exactly one row — vacuity
     lives in its VALUES: all-zero leak counters would verify nothing.
