@@ -97,6 +97,8 @@ _VERIFY_FIRST = (
     "variant_functions_wave2", "count_min_sketch_freq",
     "bloom_filter_membership", "rfm_segmentation",
     "trending_items_daily", "kmv_distinct_estimate",
+    "star_syntax_variants", "higher_order_wave3",
+    "values_inline_table",
 )
 
 
@@ -156,6 +158,7 @@ def load_all() -> None:
         geo_suite,
         functions_suite9,
         analytics3,
+        modern_surface3,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
