@@ -98,7 +98,8 @@ _VERIFY_FIRST = (
     "bloom_filter_membership", "rfm_segmentation",
     "trending_items_daily", "kmv_distinct_estimate",
     "star_syntax_variants", "higher_order_wave3",
-    "values_inline_table",
+    "values_inline_table", "session_window_sql", "pivot_multi_agg",
+    "percentile_array_variants",
 )
 
 
@@ -159,6 +160,7 @@ def load_all() -> None:
         functions_suite9,
         analytics3,
         modern_surface3,
+        modern_surface4,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
