@@ -286,3 +286,67 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lane")
     )
+
+
+@query(
+    "stream_checkpoint_exactly_once",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT)
+               AS n_distinct_event_ids,
+           CAST(0 AS BIGINT) AS n_duplicates
+    FROM events
+    """,
+)
+def stream_checkpoint_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint recovery = exactly-once: the SAME availableNow
+    query runs TWICE against the same checkpoint and parquet sink.
+    Run 1 drains the source and commits its progress; run 2 restarts
+    from the checkpoint, finds nothing new, and must append NOTHING —
+    the file-source offsets + sink commit log are the exactly-once
+    mechanism (vs stream_parquet_sink's rerun-idempotency pattern,
+    which clears the sink instead). The output proves it: sink row
+    count equals the source exactly, every event_id appears once,
+    duplicates are zero. A checkpoint regression (reprocessing after
+    restart) would double n_rows and fail the value hash."""
+    import shutil
+
+    from hdsp_hive_release_src_spark.sources.io import scratch_path
+    from hdsp_hive_release_src_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    sink = scratch_path("ckpt_once_sink", sf_dir)
+    ckpt = scratch_path("ckpt_once_state", sf_dir)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    for _ in range(2):
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+        q.stop()
+        if not finished:
+            raise TimeoutError("availableNow drain did not finish")
+    back = spark.read.parquet(sink)
+    from pyspark.sql import functions as F
+
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("event_id")
+        .cast("long")
+        .alias("n_distinct_event_ids"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("event_id")
+        )
+        .cast("long")
+        .alias("n_duplicates"),
+    )

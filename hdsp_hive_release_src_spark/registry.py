@@ -99,7 +99,7 @@ _VERIFY_FIRST = (
     "trending_items_daily", "kmv_distinct_estimate",
     "star_syntax_variants", "higher_order_wave3",
     "values_inline_table", "session_window_sql", "pivot_multi_agg",
-    "percentile_array_variants",
+    "percentile_array_variants", "stream_checkpoint_exactly_once",
 )
 
 
