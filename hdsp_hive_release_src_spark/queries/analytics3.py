@@ -225,3 +225,63 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_permille"),
         )
     )
+
+
+#: rsd (relative standard deviation) settings exercised; bound factor
+#: 4σ keeps the contract check deterministic-but-meaningful.
+_ACD_RSDS = ("0.01", "0.05", "0.1")
+
+
+def _acd_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rsd" for r in _ACD_RSDS
+    )
+    return f"""
+    WITH exact AS (
+      SELECT count(DISTINCT user_id) AS n FROM events)
+    SELECT CAST(rsd AS DOUBLE) AS rsd,
+           CAST(exact.n AS BIGINT) AS exact_distinct,
+           TRUE AS within_4sigma
+    FROM ({rows}) CROSS JOIN exact
+    ORDER BY rsd
+    """
+
+
+@query("approx_count_distinct_rsd", oracle=_acd_oracle())
+def approx_count_distinct_rsd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """approx_count_distinct's accuracy knob: the rsd parameter
+    trades sketch size for error. HLL++ register merging is
+    max-based (commutative + associative), so the estimate is
+    partition-order INDEPENDENT — but engine-specific, so the oracle
+    pins the CONTRACT: |estimate − exact| ≤ 4·rsd·exact at every
+    precision, alongside the exact count. A precision regression (or
+    an rsd argument silently ignored) flips the boolean at the tight
+    rsd and fails the hash."""
+    ev = Catalog(spark, sf_dir).events
+    exact = ev.agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    ests = [
+        ev.agg(
+            F.lit(float(r)).alias("rsd"),
+            F.approx_count_distinct("user_id", float(r)).alias("est"),
+        )
+        for r in _ACD_RSDS
+    ]
+    union = ests[0]
+    for e in ests[1:]:
+        union = union.unionAll(e)
+    return (
+        union.crossJoin(F.broadcast(exact))
+        .select(
+            "rsd",
+            F.col("exact_distinct").cast("long"),
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 4 * F.col("rsd") * F.col("exact_distinct")
+            ).alias("within_4sigma"),
+        )
+        .orderBy("rsd")
+    )

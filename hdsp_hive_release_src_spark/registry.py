@@ -100,6 +100,7 @@ _VERIFY_FIRST = (
     "star_syntax_variants", "higher_order_wave3",
     "values_inline_table", "session_window_sql", "pivot_multi_agg",
     "percentile_array_variants", "stream_checkpoint_exactly_once",
+    "approx_count_distinct_rsd",
 )
 
 
