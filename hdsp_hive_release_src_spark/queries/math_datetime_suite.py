@@ -19,8 +19,8 @@ from hdsp_hive_release_src_spark.registry import query
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(cot(l_quantity / 10.0), 6) AS cot_v,
-           factorial(CAST(CAST(l_quantity AS BIGINT) % 10 AS INT))
-               AS fact_v,
+           CAST(factorial(CAST(CAST(l_quantity AS BIGINT) % 10
+                               AS INT)) AS BIGINT) AS fact_v,
            round(cbrt(l_quantity), 6) AS cbrt_v,
            round(exp(l_discount) - 1.0, 6) AS expm1_v,
            round(ln(1.0 + l_discount), 6) AS log1p_v,

@@ -325,8 +325,8 @@ _BP_MIN_TOTAL = 100
       FROM documents),
     per_tok AS (
       SELECT token, count(*) AS n_total,
-             sum(CASE WHEN pos < {_BP_HEAD} THEN 1 ELSE 0 END)
-                 AS n_head
+             CAST(sum(CASE WHEN pos < {_BP_HEAD} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_head
       FROM pos GROUP BY token),
     tot AS (
       SELECT sum(n_total) AS all_total, sum(n_head) AS all_head

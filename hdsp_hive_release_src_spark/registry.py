@@ -41,66 +41,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # --- round 7, positions 1-50 = the driver's sampling window ---
-    # 1: changed this round — support floor lowered from 20 to 5 so
-    # the gate-scale output is non-empty (the r6 verdict's one weak
-    # item: >= 20 yields 0 rows at sf0.01, a vacuous oracle match)
-    "item_cooccurrence_support",
-    # 2-32: every query that has NEVER had a driver correctness row
-    # (late round-5/round-6 additions; all pass the local sf0.01 gate
-    # replica — one window converts the scoreboard to hard green)
-    "csv_options_matrix", "parquet_compression_codecs",
-    "unicode_roundtrip", "database_namespace_ddl",
-    "table_properties_ddl", "global_temp_view",
-    "ngram_novelty_score", "order_fulfillment_lag",
-    "stratified_eval_split", "supplier_concentration_hhi",
-    "vocab_coverage_audit", "watermark_lateness_profile",
-    "heavy_hitters_topk", "url_canonical_dedup",
-    "minhash_estimate_accuracy",
-    "rls_secure_view", "approx_quantile_rank_contract",
-    "sql_scalar_macro", "fixed_size_hash_sample",
-    "interval_overlap_join", "weighted_sample_topk",
-    "json_schema_inference", "trimmed_mean",
-    "asof_join_tolerance", "not_in_null_semantics",
-    "funnel_windowed_strict", "cusum_drift_detection",
-    "event_transition_matrix", "survivorship_golden_record",
-    "langid_confusion_matrix", "range_dimension_lookup",
-    # 33-41: streaming family whose shared read_events_stream conf
-    # handling changed in r5; foreachbatch + windowed_counts
-    # re-certified in the r6 window, these nine close out the family
-    "stream_sessionization", "stream_stateful_user_agg",
-    "stream_stream_join", "stream_parquet_sink", "stream_dedup",
-    "stream_late_data", "stream_dedup_within_watermark",
-    "stream_static_join", "quality_filter_pipeline",
-    # 42-44: round-6 ranking.py null-range change re-certs (replica
-    # green; the r6 delta is a null branch their value columns never
-    # take, queued behind never-checked work per the rotation rule)
-    "window_ntile", "histogram_equi_depth", "quantile_normalize",
-    # 45-50: new round-7 queries (added this round, never checked)
-    "cluster_by_clause", "explain_plan_surface",
-    "bm25_ranked_retrieval", "distinct_set_algebra",
-    "boilerplate_position_bias", "crypto_funcs_roundtrip",
-    # --- past the 50 cut: later round-7 additions, rotate to the
-    # front of the r8 window ---
+    # --- round 8, positions 1-50 = the driver's sampling window ---
+    # 1-2: the r7 red row and its pre-confirmed twin (DuckDB HUGEINT
+    # output columns rendering float64 through the driver's pandas
+    # path while Spark emits int64). Both oracles now CAST AS BIGINT;
+    # red-row-first is the standing rotation rule.
+    "boilerplate_position_bias", "math_funcs_wave2",
+    # 3-40: the 38 remaining queries that have NEVER had a driver
+    # correctness row (later round-7 additions that spilled past the
+    # r7 50-cut; all green through the hardened pandas-path local
+    # gate replica this round)
+    "duplicate_cluster_histogram", "dedup_rate_by_source",
+    "prefix_fingerprint_dedup", "eval_overlap_leakage",
+    "count_min_sketch_freq", "bloom_filter_membership",
+    "kmv_distinct_estimate", "approx_count_distinct_rsd",
+    "stream_rate_source", "stream_checkpoint_exactly_once",
+    "triangle_clustering_coeff", "geo_haversine_rings",
+    "nearest_hub_assignment", "rfm_segmentation",
+    "trending_items_daily", "session_window_sql",
+    "pivot_multi_agg", "percentile_array_variants",
     "string_funcs_wave5", "bitwise_agg_funcs",
     "conditional_agg_family", "map_higher_order2",
     "width_bucket_binning", "identifier_clause",
-    "posexplode_outer_empty",
-    "duplicate_cluster_histogram", "dedup_rate_by_source",
-    "prefix_fingerprint_dedup", "eval_overlap_leakage",
-    "mask_funcs", "sentences_tokenize", "binary_codec_roundtrip",
-    "xml_roundtrip", "math_funcs_wave2", "datetime_constructors",
-    "triangle_clustering_coeff", "stream_rate_source",
-    "geo_haversine_rings", "nearest_hub_assignment",
-    "array_access_semantics", "pop_variance_family",
-    "extract_field_matrix", "nondeterministic_funcs_contract",
-    "variant_functions_wave2", "count_min_sketch_freq",
-    "bloom_filter_membership", "rfm_segmentation",
-    "trending_items_daily", "kmv_distinct_estimate",
+    "posexplode_outer_empty", "mask_funcs", "sentences_tokenize",
+    "binary_codec_roundtrip", "xml_roundtrip",
+    "datetime_constructors", "array_access_semantics",
+    "pop_variance_family", "extract_field_matrix",
+    "nondeterministic_funcs_contract", "variant_functions_wave2",
     "star_syntax_variants", "higher_order_wave3",
-    "values_inline_table", "session_window_sql", "pivot_multi_agg",
-    "percentile_array_variants", "stream_checkpoint_exactly_once",
-    "approx_count_distinct_rsd",
+    "values_inline_table",
+    # 41-50: new round-8 queries (added this round, never checked) —
+    # swapped in as they land; leftover slots are re-certs of the
+    # oldest-green unchanged queries (driver r1/r2 vintage)
+    "dedup_exact", "dedup_minhash_lsh", "text_quality",
+    "token_count", "doc_fingerprint", "embedding_cosine_pairs",
+    "ann_bruteforce_topk", "sessionization", "q1_pricing_summary",
+    "q9_product_profit",
 )
 
 

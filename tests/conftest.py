@@ -43,26 +43,17 @@ def duck():
 
 
 def oracle_compare(df, con, sql: str) -> None:
-    """Order-insensitive compare of a Spark DF vs a DuckDB result."""
-    scols = df.columns
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    assert sorted(scols) == sorted(dcols), (scols, dcols)
-    def canon(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        out = []
-        for r in rows:
-            vals = []
-            for i in order:
-                v = r[i]
-                if isinstance(v, float):
-                    v = round(v, 6)
-                    if v == -0.0:
-                        v = 0.0
-                vals.append(repr(v))
-            out.append("|".join(vals))
-        return sorted(out)
+    """Order-insensitive compare of a Spark DF vs a DuckDB result.
 
-    srows = [tuple(r) for r in df.collect()]
-    drows = res.fetchall()
-    assert canon(srows, scols) == canon(drows, dcols)
+    Canonicalizes BOTH sides through pandas (Spark ``.toPandas()``,
+    DuckDB ``.df()``) because that is the grading driver's path — a
+    ``fetchall()`` compare masks dtype coercions like DuckDB HUGEINT →
+    float64 that the driver WILL see (the r7 red row)."""
+    from tools.check_oracle import canon_pdf
+
+    spdf = df.toPandas()
+    dpdf = con.execute(sql).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        list(spdf.columns), list(dpdf.columns)
+    )
+    assert canon_pdf(spdf) == canon_pdf(dpdf)

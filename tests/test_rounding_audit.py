@@ -66,6 +66,23 @@ def test_fuzz_results_contain_no_failures():
     assert not bad, f"committed audit contains failures: {bad}"
 
 
+def test_no_pandas_dtype_drift_in_any_oracle():
+    """Registry-wide DESCRIBE scan: no oracle may declare an output
+    column whose DuckDB->pandas dtype diverges from Spark's pandas
+    rendering (HUGEINT/UHUGEINT -> float64, DECIMAL -> float64 vs
+    object). This is the r7 red-row mechanism (`sum()` over INTEGER
+    returns HUGEINT) — live scan, not a committed snapshot, so a new
+    offender fails the suite the day it lands."""
+    from tests.conftest import SF_SMOKE
+    from tools.audit_rounding import dtype_drift_scan
+
+    drift = dtype_drift_scan(SF_SMOKE)
+    assert not drift, (
+        f"oracle output columns with pandas dtype drift (add an "
+        f"explicit CAST): {drift}"
+    )
+
+
 def test_layout_sensitive_allowlist_has_reasons():
     from tools.audit_rounding import LAYOUT_SENSITIVE
 

@@ -180,11 +180,55 @@ def static_inventory() -> dict[str, dict]:
     return inv
 
 
+# DuckDB output types whose pandas (`.df()`) rendering diverges from
+# the Spark `.toPandas()` rendering of the matching Spark type — the
+# exact mechanism of the r7 red row (HUGEINT -> float64 vs int64).
+# DECIMAL is included: DuckDB .df() renders it float64 while Spark
+# renders DecimalType as object(decimal.Decimal).
+_DRIFT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def dtype_drift_scan(sf_dir: str) -> dict[str, list[str]]:
+    """DESCRIBE every oracle in DuckDB (plans, does not execute) and
+    flag output columns whose declared type lands in pandas with a
+    dtype Spark would not produce. Any hit is a driver hash-fail
+    waiting to happen — fix the oracle with an explicit CAST."""
+    import duckdb
+
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    hits: dict[str, list[str]] = {}
+    for name, sql in registry.ORACLES.items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as ex:  # noqa: BLE001 - recorded, not fatal
+            hits[name] = [f"DESCRIBE error: {str(ex)[:120]}"]
+            continue
+        bad = [
+            f"{col}:{typ}"
+            for col, typ, *_ in desc
+            if any(typ.upper().startswith(t) for t in _DRIFT_TYPES)
+        ]
+        if bad:
+            hits[name] = bad
+    return hits
+
+
 def order_fuzz(names: list[str], sf_dir: str) -> dict[str, str]:
     """Run each query under two materially different partitionings and
     require canonically identical output."""
     import __spark_entry__ as e
-    from tools.check_oracle import canon
+    from tools.check_oracle import canon_pdf
 
     qs = e.queries()
     spark = None
@@ -205,8 +249,7 @@ def order_fuzz(names: list[str], sf_dir: str) -> dict[str, str]:
                 for k, val in v.items():
                     spark.conf.set(k, val)
                 df = qs[name](spark, sf_dir)
-                outs.append(canon([tuple(r) for r in df.collect()],
-                                  df.columns))
+                outs.append(canon_pdf(df.toPandas()))
             results[name] = (
                 "stable" if outs[0] == outs[1] else "UNSTABLE"
             )
@@ -268,6 +311,8 @@ def main() -> None:
         f"{len(inv)} queries inventoried; {len(float_qs)} float-class; "
         f"fuzzing {len(fuzz_set)}", file=sys.stderr,
     )
+    drift = dtype_drift_scan(sf_dir)
+    print(f"dtype drift scan: {drift or 'clean'}", file=sys.stderr)
     fuzz = order_fuzz(fuzz_set, sf_dir)
     for n, r in fuzz.items():
         inv[n]["fuzz"] = r
@@ -281,13 +326,14 @@ def main() -> None:
             [d for d in inv.values() if d["sites"]]
         ),
         "float_class": float_qs,
+        "dtype_drift": drift,
         "inventory": inv,
     }
     path = REPO / "tools" / "ROUNDING_AUDIT.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True))
     bad = [n for n, r in fuzz.items() if r != "stable"]
     print(f"wrote {path}; unstable/error: {bad}", file=sys.stderr)
-    sys.exit(1 if bad else 0)
+    sys.exit(1 if bad or drift else 0)
 
 
 if __name__ == "__main__":

@@ -3,7 +3,17 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB against the same sf dir, then compares row count, sorted column
 names, and order-insensitive values (doubles rounded to 6 before
-hashing). Usage::
+hashing).
+
+Both result sets are canonicalized THROUGH PANDAS — Spark via
+``df.toPandas()`` and DuckDB via ``res.df()`` — because that is the
+driver's path. The r7 red row (``boilerplate_position_bias``) slipped
+through precisely because this script used ``fetchall()``, which yields
+Python ints for DuckDB HUGEINT while the driver's ``.df()`` path yields
+float64; any dtype coercion that diverges between the two engines'
+pandas renderings must FAIL here before it burns a driver row.
+
+Usage::
 
     python tools/check_oracle.py [sf_dir] [name ...]
 """
@@ -14,6 +24,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -24,19 +35,49 @@ TABLES = (
 ).split()
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _norm_cell(v):
+    """Normalize one pandas cell to a stable repr string.
+
+    Deliberately preserves dtype distinctions the driver would see:
+    float64 103.0 and int64 103 repr differently, NaN and None repr
+    differently — those ARE the defect classes this gate exists to
+    catch. Only containers are canonicalized (ndarray -> list) so that
+    equal values in equal dtypes compare equal regardless of which
+    engine produced the container.
+    """
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())
+            )
+            + "}"
+        )
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        v = round(v, 6)
+        if v == -0.0:
+            v = 0.0
+    return repr(v)
+
+
+def canon_pdf(pdf):
+    """Canonicalize a pandas frame: columns sorted by name, each row a
+    '|'-joined repr string, rows sorted (order-insensitive)."""
+    cols = sorted(pdf.columns)
     out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(repr(v))
-        out.append("|".join(vals))
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append("|".join(_norm_cell(v) for v in row))
     out.sort()
     return out
 
@@ -59,40 +100,42 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
+            spdf = df.toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows {name}: {len(srows)} rows (rows-only check) "
+            print(f"rows {name}: {len(spdf)} rows (rows-only check) "
                   f"[{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
+        scols, dcols = list(spdf.columns), list(dpdf.columns)
         ok = True
         if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            print(f"FAIL {name}: cols spark={sorted(scols)} "
+                  f"duck={sorted(dcols)}")
             ok = False
-        elif len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        elif len(spdf) != len(dpdf):
+            print(f"FAIL {name}: rowcount spark={len(spdf)} "
+                  f"duck={len(dpdf)}")
             ok = False
         else:
-            cs, cd = canon(srows, scols), canon(drows, dcols)
+            cs, cd = canon_pdf(spdf), canon_pdf(dpdf)
             if cs != cd:
                 diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-                print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+                print(f"FAIL {name}: value mismatch, first diffs: "
+                      f"{diff}")
                 ok = False
         if ok:
-            print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {len(spdf)} rows "
+                  f"[{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
             n_fail += 1
