@@ -72,6 +72,16 @@ def main() -> None:
         if fn is not None:
             fn(spark, warm_dir).count()
 
+    # Fixed-cost calibration probe: a constant-size in-memory agg (no
+    # IO, no testdata, no repo query code) timed like the headliners.
+    # Round-over-round headline deltas divide out by this number — a
+    # 20% box-state inflation moves the probe and the headliners
+    # together, a real plan regression moves only the query (the r7
+    # verdict's ask: make machine noise separable without a worktree
+    # A/B).
+    calibration_s = _calibration(spark)
+    print(f"# calibration: {calibration_s}s", file=sys.stderr)
+
     # two timed runs per query, keep the best: one-shot numbers at
     # second-scale wall-clocks carry ±30% scheduler/GC noise on a
     # shared box; min-of-2 reports the query's actual cost
@@ -99,6 +109,7 @@ def main() -> None:
         # resolved heap recorded IN the bench record (not just stderr)
         # so machine-state-dependent timings are explainable per round
         "driver_memory": driver_mem,
+        "calibration_s": calibration_s,
     }
     t_start = globals().get("_T0", time.time())
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
@@ -125,7 +136,40 @@ STRESS_QUERIES = [
     # documented output-bound regime (every vector has 9 verbatim
     # twins); the r6 cell cap bounds the worst cell at 1000 members
     "semantic_dedup",
+    # r8: the sketch tier at 10× — shuffle bounded by sketch size,
+    # so these should scale FLAT-ish, not linear; a linear blow-up
+    # here means a sketch silently became a full shuffle. NOTE
+    # heavy_hitters_topk CORRECTLY returns 0 rows on this replica:
+    # make_stress suffixes every token per replica (x1..x9) to keep
+    # the 10× corpus distinct, which dilutes every token below the 2%
+    # threshold — the datapoint measures the two-pass scan cost with
+    # an empty pass-2 candidate set (the no-heavy-hitters regime),
+    # not a vacuous oracle.
+    "heavy_hitters_topk",
+    "count_min_sketch_freq",
 ]
+
+
+def _calibration(spark) -> float:
+    """Constant-size in-memory groupBy (20M synthetic rows, 10k keys,
+    32 partitions): best-of-2, same protocol as the headliners."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def _stress_10x(registry, spark, t_start: float, budget: float):

@@ -70,13 +70,12 @@ _VERIFY_FIRST = (
     "nondeterministic_funcs_contract", "variant_functions_wave2",
     "star_syntax_variants", "higher_order_wave3",
     "values_inline_table",
-    # 41-50: new round-8 queries (added this round, never checked) —
-    # swapped in as they land; leftover slots are re-certs of the
-    # oldest-green unchanged queries (driver r1/r2 vintage)
-    "dedup_exact", "dedup_minhash_lsh", "text_quality",
-    "token_count", "doc_fingerprint", "embedding_cosine_pairs",
-    "ann_bruteforce_topk", "sessionization", "q1_pricing_summary",
-    "q9_product_profit",
+    # 41-50: new round-8 queries (added this round, never checked)
+    "show_functions_surface", "explain_cbo_stats",
+    "udtf_python_lateral", "multiline_json_source",
+    "multichar_delim_csv", "json_corrupt_record",
+    "shuffle_text_global", "token_bucket_histogram",
+    "grouped_train_test_split", "stream_output_modes",
 )
 
 
@@ -138,6 +137,7 @@ def load_all() -> None:
         analytics3,
         modern_surface3,
         modern_surface4,
+        round8,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

@@ -20,6 +20,7 @@ Usage::
 
 from __future__ import annotations
 
+import datetime as _dt
 import sys
 import time
 
@@ -62,6 +63,16 @@ def _norm_cell(v):
             v = v.item()
         except (ValueError, AttributeError):
             pass
+    # Datetime normalization: Spark renders DATE as object
+    # datetime.date while DuckDB .df() renders it datetime64 midnight
+    # Timestamp — the driver provably treats these as equal (DATE
+    # output columns in date_builtins_extended/_wave3 are driver-green
+    # since r1/r5), so canonicalize both to one ISO form. Int/float
+    # stay strict (HUGEINT float64 vs int64 IS a driver fail).
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return f"{v.isoformat()}T00:00:00"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()  # pd.NaT -> 'NaT'
     if isinstance(v, float):
         if v != v:
             return "NaN"
