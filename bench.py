@@ -147,6 +147,11 @@ STRESS_QUERIES = [
     # not a vacuous oracle.
     "heavy_hitters_topk",
     "count_min_sketch_freq",
+    # r8: second iterative op at 10× (the r7 verdict's depth ask) —
+    # fixed-iteration distributed PageRank; the signal is that
+    # per-iteration cost scales with EDGES (shuffle-bound), never
+    # with iterations × driver round-trips
+    "pagerank_trade_graph",
 ]
 
 

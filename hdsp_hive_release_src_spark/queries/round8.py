@@ -423,7 +423,10 @@ def shuffle_text_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     perm_checksum = Σ position·doc_id changes if ANY document moves
     one slot. One hash-keyed shuffle + per-shard window sort — the
     sort is per-shard (spillable, bounded by shard size), never
-    global."""
+    global. S=8 here keeps the oracle output compact; at cluster
+    scale S is sized to ~4× executor count so each shard sorts
+    ~corpus/S and shards write out in parallel — the checksum
+    contract is S-independent."""
     d = Catalog(spark, sf_dir).documents
     hv = (
         (F.lit(_SHUF_A) * F.col("doc_id") + F.lit(_SHUF_B))

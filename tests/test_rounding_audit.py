@@ -46,6 +46,7 @@ def test_grid_columns_still_on_grid(duck):
         ("lineitem", "l_extendedprice"), ("lineitem", "l_quantity"),
         ("lineitem", "l_discount"), ("lineitem", "l_tax"),
         ("orders", "o_totalprice"), ("customer", "c_acctbal"),
+        ("supplier", "s_acctbal"),
         ("part", "p_retailprice"), ("events", "value"),
     ]:
         off = duck.execute(

@@ -48,7 +48,7 @@ sys.path.insert(0, str(REPO))
 # against the parquet below before classifying anything as grid)
 GRID_COLS = (
     "l_extendedprice l_quantity l_discount l_tax o_totalprice "
-    "c_acctbal p_retailprice value total_value price"
+    "c_acctbal s_acctbal p_retailprice value total_value price"
 ).split()
 
 _FLOAT_TOKENS = (
@@ -145,6 +145,7 @@ def verify_grid_cols(sf_dir: str) -> None:
                      "l_tax"],
         "orders": ["o_totalprice"],
         "customer": ["c_acctbal"],
+        "supplier": ["s_acctbal"],
         "part": ["p_retailprice"],
         "events": ["value"],
     }
