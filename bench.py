@@ -152,6 +152,12 @@ STRESS_QUERIES = [
     # per-iteration cost scales with EDGES (shuffle-bound), never
     # with iterations × driver round-trips
     "pagerank_trade_graph",
+    # r8: first streaming datapoint at 10× (enabled by the
+    # directory-layout branch in read_events_stream — the replica's
+    # events.parquet is a Spark-written dir): stateful windowed agg,
+    # state keyed by day×type so state size is bounded by GROUPS,
+    # input 10×
+    "stream_windowed_counts",
 ]
 
 

@@ -76,6 +76,20 @@ _VERIFY_FIRST = (
     "multichar_delim_csv", "json_corrupt_record",
     "shuffle_text_global", "token_bucket_histogram",
     "grouped_train_test_split", "stream_output_modes",
+    # --- past the 50 cut: r9 window queue ---
+    # streaming re-certs: read_events_stream grew a directory-layout
+    # branch late in r8 (the driver's file-layout path is the
+    # IDENTICAL pre-existing branch, and all 16 passed the local
+    # sf0.01 gate post-change) — re-certify the family first in r9
+    # per the freshness rule
+    # (stream_rate_source / stream_checkpoint_exactly_once already
+    # sit in the r8 window above, post-change)
+    "stream_windowed_counts", "stream_sessionization",
+    "stream_stateful_user_agg", "stream_stream_join",
+    "stream_parquet_sink", "stream_dedup", "stream_late_data",
+    "stream_dedup_within_watermark", "stream_static_join",
+    "stream_foreachbatch_upsert", "stream_trigger_available_now",
+    "batch_session_window", "watermark_lateness_profile",
 )
 
 

@@ -51,13 +51,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type.startswith("timestamp[ns"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # the streaming file source requires a directory; glob-filter the
-    # one table out of the shared sf_dir
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    # the streaming file source requires a directory. Two layouts
+    # exist in the wild: testdata ships events.parquet as a single
+    # FILE inside the shared sf_dir (stream the parent, glob-filter
+    # the one table out), while Spark-written datasets (the 10×
+    # stress replica, any real warehouse) have events.parquet as a
+    # DIRECTORY of part files (stream it directly — a pathGlobFilter
+    # of 'events.parquet' matches file NAMES, so it would silently
+    # yield an empty stream on this layout).
+    if _os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
