@@ -20,6 +20,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.registry import query
@@ -655,4 +656,220 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return complete.unionByName(update).orderBy(
         "mode", "day", "event_type"
+    )
+
+
+# --------------------------------------------------------------------
+# r9-queue wave: ANN recall audit, histogram_numeric contract,
+# SHOW COLUMNS / SHOW VIEWS surface, Hive context_ngrams
+# --------------------------------------------------------------------
+
+# ann oracles must be registered before this module composes them
+from hdsp_hive_release_src_spark.queries import llm as _llm  # noqa: E402,F401
+from hdsp_hive_release_src_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ANN_RECALL_ORACLE = f"""
+    WITH bf AS (SELECT * FROM ({_ORACLES["ann_bruteforce_topk"]}) b),
+    l AS (SELECT * FROM ({_ORACLES["ann_lsh_topk"]}) x)
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(l.neighbor_id) * 1000 // count(*) AS BIGINT)
+               AS recall_permille
+    FROM bf LEFT JOIN l
+      ON l.query_id = bf.query_id
+     AND l.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
+@query("ann_recall_audit", oracle=_ANN_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH scale path against the exact brute-force
+    twin — THE metric that justifies replacing an O(corpus) scan per
+    query with an O(bucket) one, computed as a first-class query so
+    a recall regression (plane change, bucket skew) is a red gate
+    row, not a silent quality loss. Composes the two registered ANN
+    queries; the oracle composes their registered oracles verbatim,
+    so all three stay in lockstep by construction. Join is on the
+    top-k result sets: k·|queries| rows, broadcast-size at any
+    corpus scale."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor")
+    )
+    return (
+        bf.join(
+            lsh,
+            (bf.query_id == lsh.query_id)
+            & (F.col("neighbor_id") == F.col("lsh_neighbor")),
+            "left",
+        )
+        .drop(lsh.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("lsh_neighbor").cast("long").alias("n_hits"),
+            F.expr("count(lsh_neighbor) * 1000 div count(*)")
+            .cast("long")
+            .alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "histogram_numeric_contract",
+    oracle="""
+    SELECT CAST(16 AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS total_y,
+           true AS x_lo_ok, true AS x_hi_ok, true AS x_sorted
+    FROM lineitem WHERE l_orderkey < 4000
+    """,
+)
+def histogram_numeric_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive's histogram_numeric UDAF (native in Spark): approximate
+    equi-height bins whose centroids depend on merge order, so the
+    pinned contract is what IS deterministic — bin count, Σy == exact
+    row count (no mass lost or invented), centroid bounds inside
+    [min, max], and centroids sorted. The same mergeable-sketch
+    discipline as the CMS/KMV tier: assert the invariants, never the
+    merge-order-dependent internals. One pass, sketch-sized shuffle."""
+    li = Catalog(spark, sf_dir).lineitem.where(F.col("l_orderkey") < 4000)
+    h = li.agg(
+        F.expr("histogram_numeric(l_extendedprice, 16)").alias("h"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return h.select(
+        F.size("h").cast("long").alias("n_bins"),
+        F.round(
+            F.expr("aggregate(h, 0.0D, (acc, b) -> acc + b.y)")
+        )
+        .cast("long")
+        .alias("total_y"),
+        F.expr("aggregate(h, true, (acc, b) -> acc AND b.x >= lo)")
+        .alias("x_lo_ok"),
+        F.expr("aggregate(h, true, (acc, b) -> acc AND b.x <= hi)")
+        .alias("x_hi_ok"),
+        F.expr(
+            "aggregate(sequence(1, size(h) - 1), true,"
+            " (acc, i) -> acc AND h[i-1].x <= h[i].x)"
+        ).alias("x_sorted"),
+    )
+
+
+#: columns of the managed table show_columns_views_surface creates —
+#: shared by impl and oracle so the pin can't drift.
+_SCV_COLS = ("p_partkey", "p_name", "p_type", "p_retailprice")
+
+
+def _scv_oracle() -> str:
+    rows = ", ".join(f"('column', '{c}')" for c in _SCV_COLS)
+    return f"""
+    SELECT kind, name
+    FROM (VALUES {rows}, ('view', 'scv_view')) AS t(kind, name)
+    ORDER BY kind, name
+    """
+
+
+@query("show_columns_views_surface", oracle=_scv_oracle())
+def show_columns_views_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHOW COLUMNS IN <table> + SHOW VIEWS — the two metadata listing
+    surfaces §2.2's SHOW family still lacked (partitions, functions,
+    CREATE TABLE are covered). A catalog view over a managed table is
+    created, then both listings are read back and pinned against the
+    expected inventory — a dropped column or an unlisted view breaks
+    parity. Metadata-only: no data scan at any scale."""
+    p = Catalog(spark, sf_dir).part
+    fresh_managed_table(spark, "scv_part")
+    p.select(*_SCV_COLS).limit(50).write.saveAsTable("scv_part")
+    spark.sql("DROP VIEW IF EXISTS scv_view")
+    spark.sql(
+        "CREATE VIEW scv_view AS SELECT p_partkey, p_retailprice "
+        "FROM scv_part"
+    )
+    cols = spark.sql("SHOW COLUMNS IN scv_part").select(
+        F.lit("column").alias("kind"), F.col("col_name").alias("name")
+    )
+    views = spark.sql("SHOW VIEWS LIKE 'scv_view'").select(
+        F.lit("view").alias("kind"), F.col("viewName").alias("name")
+    )
+    return cols.unionByName(views).orderBy("kind", "name")
+
+
+#: context word and result size for context_ngrams_top (Hive
+#: context_ngrams(sentences(...), array("join", null), k) parity).
+_CTX_WORD = "join"
+_CTX_K = 15
+
+
+@query(
+    "context_ngrams_top",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    big AS (
+      SELECT u.b.w1 AS w1, u.b.w2 AS w2
+      FROM toks, unnest(list_transform(range(2, len(t) + 1),
+                        i -> {{'w1': t[i-1], 'w2': t[i]}})) AS u(b)),
+    cnt AS (
+      SELECT w2 AS next_token, count(*) AS n
+      FROM big WHERE w1 = '{_CTX_WORD}' GROUP BY w2),
+    rk AS (
+      SELECT next_token, n,
+             row_number() OVER (ORDER BY n DESC, next_token) AS rnk
+      FROM cnt)
+    SELECT next_token, n, CAST(rnk AS BIGINT) AS rank
+    FROM rk WHERE rnk <= {_CTX_K} ORDER BY rank
+    """,
+)
+def context_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive context_ngrams parity: the top-k tokens FOLLOWING a fixed
+    context word across the corpus (the 'what comes after X'
+    completion table). Bigrams are generated positionally inside each
+    document (an index transform over the token array — one scan, no
+    self-join), filtered to the context BEFORE the shuffle so only
+    matching bigrams ever leave the map side; the final top-k ranks a
+    vocabulary-bounded count table. Deterministic tie-break (count
+    desc, token asc) keeps the rank stable across engines."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cnt = (
+        bigrams.where(F.col("w1") == _CTX_WORD)
+        .groupBy(F.col("w2").alias("next_token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps, O(k) memory, no global sort of the vocabulary),
+    # THEN rank inside the k survivors — the bm25 pattern; the global
+    # window runs over ≤ k rows, never the count table
+    top = cnt.orderBy(F.desc("n"), "next_token").limit(_CTX_K)
+    w = Window.orderBy(F.desc("n"), "next_token")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
     )

@@ -90,6 +90,9 @@ _VERIFY_FIRST = (
     "stream_dedup_within_watermark", "stream_static_join",
     "stream_foreachbatch_upsert", "stream_trigger_available_now",
     "batch_session_window", "watermark_lateness_profile",
+    # late-r8 additions (never checked; local gate green)
+    "ann_recall_audit", "histogram_numeric_contract",
+    "show_columns_views_surface", "context_ngrams_top",
 )
 
 
