@@ -873,3 +873,172 @@ def context_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------
+# deterministic resampling statistics (A/B-eval primitives)
+# --------------------------------------------------------------------
+
+#: bootstrap replicates and membership hash constants — affine hash on
+#: (o_orderkey, replicate) keeps every membership decision in exact
+#: int64, so DuckDB replays each resample bit-for-bit.
+_BOOT_B = 40
+_BOOT_A = 2654435761
+_BOOT_P = 2147483647
+
+
+@query(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 8000),
+    rep AS (
+      SELECT b, k, cents
+      FROM src, unnest(range(0, {_BOOT_B})) AS r(b)
+      WHERE (({_BOOT_A} * (k + 131 * (b + 1))) % {_BOOT_P}) % 2 = 0),
+    means AS (
+      SELECT b, CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+      FROM rep GROUP BY b),
+    ranked AS (
+      SELECT mean_cents,
+             row_number() OVER (ORDER BY mean_cents, b) AS rnk
+      FROM means)
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           CAST(min(CASE WHEN rnk = 2 THEN mean_cents END) AS BIGINT)
+               AS ci_lo_cents,
+           CAST(min(CASE WHEN rnk = {_BOOT_B - 1} THEN mean_cents END)
+                AS BIGINT) AS ci_hi_cents,
+           CAST(sum(mean_cents) // {_BOOT_B} AS BIGINT)
+               AS mean_of_means_cents
+    FROM ranked
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsample bootstrap for a mean: B half-samples
+    whose membership is an affine hash of (row key, replicate) — the
+    reproducible stand-in for rand() resampling (same CI on any
+    engine, any partitioning, any retry). Scale shape: ONE scan with a
+    map-side ×B replicate expansion (explode of a literal range — no
+    self-join, no shuffle of the base table), per-replicate partial
+    sums, a B-row aggregate, and the CI picked by rank from B sorted
+    means. All arithmetic is exact integer cents; the 90% CI bounds
+    are order statistics 2 and B-1 of the replicate means."""
+    o = Catalog(spark, sf_dir).orders.where(F.col("o_orderkey") < 8000)
+    src = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rep = (
+        src.select(
+            "k", "cents",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+            ).alias("b"),
+        )
+        .where(
+            (
+                (F.lit(_BOOT_A) * (F.col("k") + 131 * (F.col("b") + 1)))
+                % _BOOT_P
+            )
+            % 2
+            == 0
+        )
+    )
+    means = rep.groupBy("b").agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents")
+    )
+    w = Window.orderBy("mean_cents", "b")
+    ranked = means.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        F.min(
+            F.when(F.col("rnk") == 2, F.col("mean_cents"))
+        ).cast("long").alias("ci_lo_cents"),
+        F.min(
+            F.when(F.col("rnk") == _BOOT_B - 1, F.col("mean_cents"))
+        ).cast("long").alias("ci_hi_cents"),
+        F.expr(f"sum(mean_cents) div {_BOOT_B}")
+        .cast("long")
+        .alias("mean_of_means_cents"),
+    )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b'
+             END AS grp,
+             CAST(o_totalprice * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey < 6000
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+    ranked AS (
+      SELECT grp, cents,
+             rank() OVER (ORDER BY cents) * 2
+               + count(*) OVER (PARTITION BY cents) - 1 AS rank2
+      FROM src)
+    SELECT CAST(count(CASE WHEN grp = 'a' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN grp = 'b' THEN 1 END) AS BIGINT) AS n_b,
+           CAST((sum(CASE WHEN grp = 'a' THEN rank2 ELSE 0 END)
+                 - count(CASE WHEN grp = 'a' THEN 1 END)
+                   * (count(CASE WHEN grp = 'a' THEN 1 END) + 1))
+                // 2 AS BIGINT) AS u_a,
+           CAST((sum(CASE WHEN grp = 'b' THEN rank2 ELSE 0 END)
+                 - count(CASE WHEN grp = 'b' THEN 1 END)
+                   * (count(CASE WHEN grp = 'b' THEN 1 END) + 1))
+                // 2 AS BIGINT) AS u_b
+    FROM ranked
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two order-priority
+    groups — the nonparametric two-sample test an eval pipeline runs
+    when score distributions aren't normal. Kept fully exact: ranks
+    are doubled so tie-averaged ranks stay integral (2·avg_rank =
+    rank + (rank + ties - 1)), and U = (Σ2r - n(n+1))/2 divides back
+    out in integer arithmetic — zero float anywhere, so partitioning
+    and engine cannot move the statistic. One global rank over the
+    filtered sample (windowed; spillable) + one aggregate.
+    Self-check: u_a + u_b == n_a·n_b by construction."""
+    o = Catalog(spark, sf_dir).orders.where(
+        (F.col("o_orderkey") < 6000)
+        & F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    src = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+        .otherwise("b")
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = src.select(
+        "grp",
+        (
+            F.rank().over(Window.orderBy("cents")) * 2
+            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+            - 1
+        ).alias("rank2"),
+    )
+    is_a = (F.col("grp") == "a").cast("long")
+    is_b = (F.col("grp") == "b").cast("long")
+    return ranked.agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_b).alias("n_b"),
+        (
+            (
+                F.sum(F.when(F.col("grp") == "a", F.col("rank2"))
+                      .otherwise(0))
+                - F.sum(is_a) * (F.sum(is_a) + 1)
+            )
+            / 2
+        ).cast("long").alias("u_a"),
+        (
+            (
+                F.sum(F.when(F.col("grp") == "b", F.col("rank2"))
+                      .otherwise(0))
+                - F.sum(is_b) * (F.sum(is_b) + 1)
+            )
+            / 2
+        ).cast("long").alias("u_b"),
+    )

@@ -93,6 +93,7 @@ _VERIFY_FIRST = (
     # late-r8 additions (never checked; local gate green)
     "ann_recall_audit", "histogram_numeric_contract",
     "show_columns_views_surface", "context_ngrams_top",
+    "bootstrap_ci_mean", "mann_whitney_u",
 )
 
 

@@ -191,3 +191,30 @@ def test_histogram_numeric_contract_holds(spark):
     ).collect()[0]
     assert row.n_bins == 16
     assert row.x_lo_ok and row.x_hi_ok and row.x_sorted
+
+
+def test_mann_whitney_identity(spark):
+    """U_a + U_b == n_a * n_b — the rank-sum identity; fails if ties
+    or the doubled-rank arithmetic drift."""
+    row = registry.QUERIES["mann_whitney_u"](spark, SF).collect()[0]
+    assert row.u_a + row.u_b == row.n_a * row.n_b
+    assert row.n_a > 0 and row.n_b > 0
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """Order-statistic CI must bracket the mean of replicate means and
+    be non-degenerate (lo < hi) at smoke scale."""
+    row = registry.QUERIES["bootstrap_ci_mean"](spark, SF).collect()[0]
+    assert row.n_replicates == 40
+    assert row.ci_lo_cents < row.ci_hi_cents
+    assert row.ci_lo_cents <= row.mean_of_means_cents <= row.ci_hi_cents
+
+
+def test_bootstrap_deterministic_across_partitionings(spark):
+    fn = registry.QUERIES["bootstrap_ci_mean"]
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    a = [tuple(r) for r in fn(spark, SF).collect()]
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    b = [tuple(r) for r in fn(spark, SF).collect()]
+    spark.conf.unset("spark.sql.shuffle.partitions")
+    assert a == b
