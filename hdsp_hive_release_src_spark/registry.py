@@ -94,6 +94,9 @@ _VERIFY_FIRST = (
     "ann_recall_audit", "histogram_numeric_contract",
     "show_columns_views_surface", "context_ngrams_top",
     "bootstrap_ci_mean", "mann_whitney_u",
+    # round-8 second wave (never checked; local gate green)
+    "hll_manual_registers", "ks_two_sample",
+    "topo_sort_layers", "autocorr_daily_events",
 )
 
 
@@ -156,6 +159,7 @@ def load_all() -> None:
         modern_surface3,
         modern_surface4,
         round8,
+        round8b,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

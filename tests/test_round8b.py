@@ -1,0 +1,162 @@
+"""Round-8 second-wave operator semantics: deterministic HLL register
+contract, exact-KS bounds, DAG-layering validity, autocorrelation
+identities. Oracle value parity is covered generically by
+tests/test_all_oracles.py; here live the properties parity can't see
+(sketch invariants, graph-fixpoint validity, partitioning-independence
+of the exact-integer folds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+# --------------------------------------------------------------------
+# hll_manual_registers
+# --------------------------------------------------------------------
+
+def test_hll_register_contract(spark):
+    """Register bookkeeping must be internally consistent: the
+    harmonic sum of 64 registers is bounded by [64 (all saturated),
+    64·2^26 (all empty)], empties are counted against the same m, and
+    the estimate lands within the m=64 HLL error envelope of the
+    exact count (generous 50% band — the contract is the mechanism,
+    not the constant)."""
+    row = registry.QUERIES["hll_manual_registers"](spark, SF).collect()[0]
+    assert row.m_registers == 64
+    assert 64 <= row.int_harmonic <= 64 * (1 << 26)
+    assert 0 <= row.n_empty_registers < 64
+    assert row.true_distinct > 0
+    assert abs(row.hll_estimate - row.true_distinct) <= (
+        row.true_distinct // 2
+    ), (row.hll_estimate, row.true_distinct)
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    """max() registers are order- and layout-independent: the sketch
+    must be bit-identical under a materially different shuffle
+    width."""
+    fn = registry.QUERIES["hll_manual_registers"]
+    base = tuple(fn(spark, SF).collect()[0])
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = tuple(fn(spark, SF).collect()[0])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+
+
+# --------------------------------------------------------------------
+# ks_two_sample
+# --------------------------------------------------------------------
+
+def test_ks_bounds_and_units(spark):
+    """0 ≤ D ≤ 1 in permille units, the integer numerator is bounded
+    by n_a·n_b, and the argmax value is a real observed price."""
+    row = registry.QUERIES["ks_two_sample"](spark, SF).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0 <= row.d_num <= row.n_a * row.n_b
+    assert 0 <= row.ks_permille <= 1000
+    assert row.ks_at_value > 0.0
+
+
+def test_ks_identical_samples_give_zero(spark):
+    """KS identity D(A, A) = 0: feeding the same sample as both
+    groups must produce a zero statistic — the integer ECDF fold has
+    no float residue to leave behind."""
+    from hdsp_hive_release_src_spark.catalog import Catalog
+
+    o = Catalog(spark, SF).orders.where(F.col("o_orderstatus") == "F")
+    pts = (
+        o.select(F.col("o_totalprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = o.count()
+    # D-numerator with both samples equal: |n·F − n·F| per point
+    mx = (
+        pts.select(F.sum("c").over(w).alias("f"))
+        .select(F.abs(n * F.col("f") - n * F.col("f")).alias("dn"))
+        .agg(F.max("dn").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert mx == 0
+
+
+# --------------------------------------------------------------------
+# topo_sort_layers
+# --------------------------------------------------------------------
+
+def test_topo_layering_is_valid_and_longest(spark):
+    """Layering validity: every edge strictly increases the layer by
+    AT LEAST 1 (DAG order), and by EXACTLY 1 for at least one
+    incoming edge of every non-root (longest-path tightness). Roots
+    (odd keys > 500/3 can't be reached) sit at layer 0."""
+    df = registry.QUERIES["topo_sort_layers"](spark, SF)
+    layer = {r.node: r.layer for r in df.collect()}
+    nodes = set(layer)
+    edges = [
+        (u, v)
+        for u in nodes
+        for v in (2 * u, 3 * u)
+        if v in nodes
+    ]
+    assert edges, "test graph degenerated to no edges"
+    for u, v in edges:
+        assert layer[v] >= layer[u] + 1, (u, v, layer[u], layer[v])
+    non_roots = {v for _, v in edges}
+    for v in non_roots:
+        preds = [u for u, w in edges if w == v]
+        assert layer[v] == 1 + max(layer[u] for u in preds), v
+    for n in nodes - non_roots:
+        assert layer[n] == 0, n
+    assert max(layer.values()) <= 8
+
+
+# --------------------------------------------------------------------
+# autocorr_daily_events
+# --------------------------------------------------------------------
+
+def test_autocorr_identities(spark):
+    """|r| ≤ 1 for every lag, pair counts strictly decrease as the
+    lag grows (contiguous daily series), and the integer variance
+    numerators are positive (non-constant series)."""
+    rows = registry.QUERIES["autocorr_daily_events"](spark, SF).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert r.var_x_num > 0 and r.var_y_num > 0
+        assert abs(r.acf) <= 1.0
+    ns = [r.n_pairs for r in rows]
+    assert all(a > b for a, b in zip(ns, ns[1:])), ns
+
+
+def test_autocorr_exact_sums_partition_independent(spark):
+    """The int64 accumulators (and hence the rounded acf) must not
+    move under a different shuffle width — the standing float-order
+    rule made testable because everything upstream of the quotient is
+    integer."""
+    fn = registry.QUERIES["autocorr_daily_events"]
+    base = [tuple(r) for r in fn(spark, SF).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = [tuple(r) for r in fn(spark, SF).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
