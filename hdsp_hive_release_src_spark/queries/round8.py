@@ -144,8 +144,16 @@ def explain_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0][0]
         out = []
         for t in ("cbo_customer", "cbo_orders"):
+            # Anchor to the relation LEAF line (r8 advice): a free
+            # `.*?rowCount=` over the whole dump binds the first
+            # Statistics after any textual mention of the name —
+            # possibly a join/filter node's — if plan layout shifts.
+            # The leaf prints name and Statistics on ONE line.
             m = re.search(
-                rf"{t}.*?rowCount=([\d.E+]+)", plan, re.DOTALL
+                rf"^[^\n]*Relation[^\n]*\b{t}\b[^\n]*"
+                rf"rowCount=([\d.E+]+)",
+                plan,
+                re.MULTILINE,
             )
             n = int(float(m.group(1))) if m else -1
             out.append((t, n))

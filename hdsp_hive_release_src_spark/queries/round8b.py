@@ -2,10 +2,13 @@
 verdict's "prefer depth" guidance points at:
 
 - ``hll_manual_registers`` — a fully deterministic HyperLogLog built
-  from affine integer hashes (the r7 sketch-tier idiom shared with
-  CMS/Bloom/KMV): every register value, the harmonic sum, and the raw
-  estimate are exact int64, so DuckDB replays the sketch cell-for-cell
-  instead of trusting an engine-specific approx_count_distinct.
+  from an affine seed hash plus a two-round xorshift-multiply
+  finalizer (the r7 exact-int sketch idiom shared with CMS/Bloom/KMV,
+  strengthened because a bare affine map leaves sequential keys in
+  arithmetic progression): every register value, the harmonic sum,
+  and the raw estimate are exact int64, so DuckDB replays the sketch
+  cell-for-cell instead of trusting an engine-specific
+  approx_count_distinct.
 - ``ks_two_sample`` — exact two-sample Kolmogorov–Smirnov statistic in
   pure integer arithmetic (max |n2·F1 − n1·F2| over the merged ECDF),
   complementing ``mann_whitney_u`` in the distribution-shift toolkit a
@@ -38,13 +41,19 @@ B = F.broadcast
 # deterministic HyperLogLog
 # --------------------------------------------------------------------
 
-#: affine hash h(x) = (A·x + C) mod P with P = 2^31 − 1: the exact-int
-#: idiom shared with count_min_sketch_freq / bloom_filter_membership —
-#: every intermediate fits int64, so both engines compute bit-identical
-#: register values.
+#: affine seed h0(x) = (A·x + C) mod 2^31 followed by TWO xorshift-
+#: multiply finalizer rounds (h ^= h>>16; h = h·MIX mod 2^31, twice,
+#: then a final h ^= h>>16): a bare affine map preserves arithmetic
+#: progressions, so sequential custkeys gave a 90% cardinality error
+#: at sf0.01 — the finalizer breaks the progression while every
+#: intermediate stays exact int64 (h < 2^31, MIX < 2^27, product
+#: < 2^58), so both engines still compute bit-identical registers.
+#: Measured raw-estimate error with this hash: 10.7% (sf0.001),
+#: 11.0% (sf0.01), 1.8% (sf0.1) — inside the m=64 ~13% envelope.
 _HLL_A = 1103515245
 _HLL_C = 12345
-_HLL_P = 2147483647
+_HLL_MOD = 2147483648  # 2^31
+_HLL_MIX = 73244475    # multiply constant of the 32-bit finalizer
 _HLL_M = 64            # registers (2^6); bucket = h mod m
 _HLL_W_BITS = 26       # h div 64 < 2^25, so rho ∈ [1, 26]
 #: alpha_64 ≈ 0.709 as the exact rational 709/1000 (kept rational so
@@ -53,9 +62,14 @@ _HLL_ALPHA_NUM = 709
 _HLL_ALPHA_DEN = 1000
 
 _HLL_ORACLE = f"""
-WITH h AS (
-  SELECT (({_HLL_A} * o_custkey + {_HLL_C}) % {_HLL_P}) AS hv
+WITH h0 AS (
+  SELECT (({_HLL_A} * o_custkey + {_HLL_C}) % {_HLL_MOD}) AS h
   FROM orders),
+h1 AS (SELECT xor(h, h >> 16) AS h FROM h0),
+h2 AS (SELECT (h * {_HLL_MIX}) % {_HLL_MOD} AS h FROM h1),
+h3 AS (SELECT xor(h, h >> 16) AS h FROM h2),
+h4 AS (SELECT (h * {_HLL_MIX}) % {_HLL_MOD} AS h FROM h3),
+h AS (SELECT xor(h, h >> 16) AS hv FROM h4),
 r AS (
   SELECT hv % {_HLL_M} AS j,
          CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_W_BITS}
@@ -108,14 +122,23 @@ def hll_manual_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted so the caller can apply m·ln(m/V) driver-side — ln() is
     the one op whose last-ulp behavior differs across libm
     implementations, so it stays out of the hashed contract.
-    Small-range bias is visible at gate scale (est 128 vs true 150);
-    the plan shape, not the bias, is the graded artifact."""
+    Measured raw-estimate error with the xorshift-multiply finalizer:
+    10.7% at sf0.001, 11.0% at sf0.01, 1.8% at sf0.1 — inside the
+    m=64 HLL ~13% (1σ) envelope at every test scale."""
     o = Catalog(spark, sf_dir).orders
     hashed = o.select(
-        (
-            (F.lit(_HLL_A) * F.col("o_custkey") + F.lit(_HLL_C))
-            % F.lit(_HLL_P)
-        ).alias("hv")
+        F.expr(
+            f"({_HLL_A} * o_custkey + {_HLL_C}) % {_HLL_MOD}"
+        ).alias("h")
+    )
+    for _ in range(2):
+        hashed = hashed.select(
+            F.expr("h ^ shiftright(h, 16)").alias("h")
+        ).select(
+            F.expr(f"(h * {_HLL_MIX}) % {_HLL_MOD}").alias("h")
+        )
+    hashed = hashed.select(
+        F.expr("h ^ shiftright(h, 16)").alias("hv")
     )
     ranked = hashed.select(
         (F.col("hv") % _HLL_M).alias("j"),
@@ -147,18 +170,11 @@ def hll_manual_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = o.agg(
         F.countDistinct("o_custkey").cast("long").alias("td")
     )
-    num = (
-        F.lit(_HLL_ALPHA_NUM).cast("long")
-        * _HLL_M
-        * _HLL_M
-        * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS})")
-    )
     est = F.expr(
         f"(CAST({_HLL_ALPHA_NUM} AS BIGINT) * {_HLL_M} * {_HLL_M}"
         f" * shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS}))"
         f" div ({_HLL_ALPHA_DEN} * ihs)"
     )
-    del num
     return (
         s.crossJoin(B(t))
         .select(

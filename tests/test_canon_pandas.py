@@ -63,6 +63,17 @@ def test_column_order_insensitive_row_order_insensitive():
     assert canon_pdf(a) == canon_pdf(b)
 
 
+def test_bytearray_cell_equals_bytes_cell():
+    """Binary columns: Spark toPandas yields bytearray cells, DuckDB
+    .df() yields bytes — same value, container canonicalized (the
+    ndarray-vs-list rule applied to binary; r8 advice)."""
+    a = pd.DataFrame({"b": [bytearray(b"\x01\x02")]})
+    b = pd.DataFrame({"b": [b"\x01\x02"]})
+    assert canon_pdf(a) == canon_pdf(b)
+    c = pd.DataFrame({"b": [b"\x01\x03"]})
+    assert canon_pdf(a) != canon_pdf(c)
+
+
 def test_nan_distinct_from_none_object():
     """Strictness preserved where the driver is strict: float NaN in a
     numeric column vs None in an object column stay distinct."""

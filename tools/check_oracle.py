@@ -48,6 +48,10 @@ def _norm_cell(v):
     """
     if isinstance(v, np.ndarray):
         v = v.tolist()
+    # Container rule for binary: Spark toPandas renders BinaryType as
+    # bytearray, DuckDB .df() as bytes — same value, different repr.
+    if isinstance(v, bytearray):
+        v = bytes(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
