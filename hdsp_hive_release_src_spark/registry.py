@@ -41,62 +41,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # --- round 8, positions 1-50 = the driver's sampling window ---
-    # 1-2: the r7 red row and its pre-confirmed twin (DuckDB HUGEINT
-    # output columns rendering float64 through the driver's pandas
-    # path while Spark emits int64). Both oracles now CAST AS BIGINT;
-    # red-row-first is the standing rotation rule.
-    "boilerplate_position_bias", "math_funcs_wave2",
-    # 3-40: the 38 remaining queries that have NEVER had a driver
-    # correctness row (later round-7 additions that spilled past the
-    # r7 50-cut; all green through the hardened pandas-path local
-    # gate replica this round)
-    "duplicate_cluster_histogram", "dedup_rate_by_source",
-    "prefix_fingerprint_dedup", "eval_overlap_leakage",
-    "count_min_sketch_freq", "bloom_filter_membership",
-    "kmv_distinct_estimate", "approx_count_distinct_rsd",
-    "stream_rate_source", "stream_checkpoint_exactly_once",
-    "triangle_clustering_coeff", "geo_haversine_rings",
-    "nearest_hub_assignment", "rfm_segmentation",
-    "trending_items_daily", "session_window_sql",
-    "pivot_multi_agg", "percentile_array_variants",
-    "string_funcs_wave5", "bitwise_agg_funcs",
-    "conditional_agg_family", "map_higher_order2",
-    "width_bucket_binning", "identifier_clause",
-    "posexplode_outer_empty", "mask_funcs", "sentences_tokenize",
-    "binary_codec_roundtrip", "xml_roundtrip",
-    "datetime_constructors", "array_access_semantics",
-    "pop_variance_family", "extract_field_matrix",
-    "nondeterministic_funcs_contract", "variant_functions_wave2",
-    "star_syntax_variants", "higher_order_wave3",
-    "values_inline_table",
-    # 41-50: new round-8 queries (added this round, never checked)
-    "show_functions_surface", "explain_cbo_stats",
-    "udtf_python_lateral", "multiline_json_source",
-    "multichar_delim_csv", "json_corrupt_record",
-    "shuffle_text_global", "token_bucket_histogram",
-    "grouped_train_test_split", "stream_output_modes",
-    # --- past the 50 cut: r9 window queue ---
-    # streaming re-certs: read_events_stream grew a directory-layout
-    # branch late in r8 (the driver's file-layout path is the
-    # IDENTICAL pre-existing branch, and all 16 passed the local
-    # sf0.01 gate post-change) — re-certify the family first in r9
-    # per the freshness rule
-    # (stream_rate_source / stream_checkpoint_exactly_once already
-    # sit in the r8 window above, post-change)
+    # --- round 9, positions 1-50 = the driver's sampling window ---
+    # 1-13: streaming re-certs. read_events_stream grew a
+    # directory-layout branch late in r8 after the r8 window was cut
+    # (the driver's file-layout code path is the IDENTICAL
+    # pre-existing branch, and all 16 streaming queries re-passed the
+    # local sf0.01 gate post-change) — per the freshness rule the
+    # family re-certifies first. stream_rate_source /
+    # stream_checkpoint_exactly_once / stream_output_modes already
+    # earned green r8 rows post-change.
     "stream_windowed_counts", "stream_sessionization",
     "stream_stateful_user_agg", "stream_stream_join",
     "stream_parquet_sink", "stream_dedup", "stream_late_data",
     "stream_dedup_within_watermark", "stream_static_join",
     "stream_foreachbatch_upsert", "stream_trigger_available_now",
     "batch_session_window", "watermark_lateness_profile",
-    # late-r8 additions (never checked; local gate green)
+    # 14: changed this round (regex anchored to the Relation leaf
+    # line per r8 advice; green r8 row predates the change)
+    "explain_cbo_stats",
+    # 15-24: late-r8 additions with NO driver row yet (judge-swept
+    # 10/10 at r8 through the driver-identical pandas path).
+    # hll_manual_registers also changed this round (xorshift-multiply
+    # hash finalizer, r8 advice).
     "ann_recall_audit", "histogram_numeric_contract",
     "show_columns_views_surface", "context_ngrams_top",
     "bootstrap_ci_mean", "mann_whitney_u",
-    # round-8 second wave (never checked; local gate green)
     "hll_manual_registers", "ks_two_sample",
     "topo_sort_layers", "autocorr_daily_events",
+    # 25-34: round-9 first wave (SQL/DDL surface; never checked)
+    "group_ordinal_having", "char_varchar_semantics",
+    "reflect_java_method", "from_csv_expressions",
+    "insert_defaults_surface", "column_comments_ddl",
+    "null_partition_handling", "parquet_bloom_filter_write",
+    "text_source_options", "sequence_generate_series",
+    # 35-50: round-9 later waves replace these as they land; until
+    # then the slots re-certify the STALEST green rows (r1 vintage) —
+    # re-checking old rows is strictly useful, never wasted.
+    "anti_join_customers", "band_join_order_pairs",
+    "correlated_exists", "correlated_scalar_select",
+    "cte_top_nation_revenue", "cube_agg", "conditional_agg",
+    "ctas_catalog", "asof_join_events_orders",
+    "q2_min_cost_supplier", "q4_order_priority",
+    "q6_revenue_forecast", "q8_market_share", "q10_returned_items",
+    "q12_priority_shipping", "q14_promo_effect",
 )
 
 
@@ -160,6 +147,7 @@ def load_all() -> None:
         modern_surface4,
         round8,
         round8b,
+        round9,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
