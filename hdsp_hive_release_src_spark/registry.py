@@ -74,16 +74,18 @@ _VERIFY_FIRST = (
     "insert_defaults_surface", "column_comments_ddl",
     "null_partition_handling", "parquet_bloom_filter_write",
     "text_source_options", "sequence_generate_series",
-    # 35-50: round-9 later waves replace these as they land; until
+    # 35-42: round-9 second wave (inference statistics; never checked)
+    "welch_t_test", "gini_concentration_index",
+    "spearman_rank_corr", "weekday_seasonality_index",
+    "ewma_halving_window", "cramers_v_effect",
+    "cohens_kappa_raters", "moving_median_window",
+    # 43-50: round-9 third wave replaces these as it lands; until
     # then the slots re-certify the STALEST green rows (r1 vintage) —
     # re-checking old rows is strictly useful, never wasted.
     "anti_join_customers", "band_join_order_pairs",
     "correlated_exists", "correlated_scalar_select",
     "cte_top_nation_revenue", "cube_agg", "conditional_agg",
-    "ctas_catalog", "asof_join_events_orders",
-    "q2_min_cost_supplier", "q4_order_priority",
-    "q6_revenue_forecast", "q8_market_share", "q10_returned_items",
-    "q12_priority_shipping", "q14_promo_effect",
+    "ctas_catalog",
 )
 
 
@@ -148,6 +150,7 @@ def load_all() -> None:
         round8,
         round8b,
         round9,
+        round9b,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
