@@ -79,13 +79,11 @@ _VERIFY_FIRST = (
     "spearman_rank_corr", "weekday_seasonality_index",
     "ewma_halving_window", "cramers_v_effect",
     "cohens_kappa_raters", "moving_median_window",
-    # 43-50: round-9 third wave replaces these as it lands; until
-    # then the slots re-certify the STALEST green rows (r1 vintage) —
-    # re-checking old rows is strictly useful, never wasted.
-    "anti_join_customers", "band_join_order_pairs",
-    "correlated_exists", "correlated_scalar_select",
-    "cte_top_nation_revenue", "cube_agg", "conditional_agg",
-    "ctas_catalog",
+    # 43-50: round-9 third wave (LLM-pipeline / graph; never checked)
+    "unicode_nfc_dedup", "degree_assortativity",
+    "zipf_rank_frequency", "stratified_kfold_assignment",
+    "type_token_ratio_buckets", "bpe_merge_pair_counts",
+    "jensen_shannon_drift", "hapax_legomena_ratio",
 )
 
 
@@ -151,6 +149,7 @@ def load_all() -> None:
         round8b,
         round9,
         round9b,
+        round9c,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
