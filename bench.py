@@ -212,6 +212,15 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         shutil.rmtree(dst, ignore_errors=True)
         build(src, dst, 10)
         complete.write_text(fingerprint)
+    # Warm the Python worker pool before timing: the first
+    # mapInPandas/pandas_udf of a session pays ~8-9 s of worker
+    # startup (r8 recorded heavy_hitters_topk at 10.6 s single-shot
+    # vs 1.5 s warm — the delta was fork/Arrow init, not the
+    # operator). Session startup is a fixed cost, not throughput;
+    # warm on synthetic rows so no replica data gets cached.
+    spark.range(0, 100_000, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, float] = {}
     for name in STRESS_QUERIES:
