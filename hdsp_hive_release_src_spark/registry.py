@@ -84,6 +84,11 @@ _VERIFY_FIRST = (
     "zipf_rank_frequency", "stratified_kfold_assignment",
     "type_token_ratio_buckets", "bpe_merge_pair_counts",
     "jensen_shannon_drift", "hapax_legomena_ratio",
+    # --- past the 50 cut: round-9 fourth wave, queued to lead the
+    # r10 window (never checked; local gate green at both scales)
+    "qualify_emulation", "soundex_phonetic_blocking",
+    "hive_uniontype_emulation", "multibyte_length_semantics",
+    "pca_power_iteration_exact", "rebalance_hint_partitioning",
 )
 
 
@@ -150,6 +155,7 @@ def load_all() -> None:
         round9,
         round9b,
         round9c,
+        round9d,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
