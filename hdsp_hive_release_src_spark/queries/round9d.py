@@ -289,7 +289,7 @@ _PCA_Q = 1000000
 _PCA_ORACLE = f"""
 WITH comp AS (
   SELECT e.vec_id AS id, g.i - 1 AS j,
-         CAST(round(e.embedding[g.i] * {_PCA_Q}) AS BIGINT) AS v
+         CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * {_PCA_Q}) AS BIGINT) AS v
   FROM embeddings e,
        unnest(generate_series(1, len(e.embedding))) AS g(i)),
 cov AS (
@@ -332,7 +332,7 @@ def pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id",
         "j",
-        F.expr(f"CAST(round(x * {_PCA_Q}) AS BIGINT)").alias("v"),
+        F.expr(f"CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT)").alias("v"),
     )
     a = comp.alias("a")
     b = comp.alias("b")

@@ -89,6 +89,9 @@ _VERIFY_FIRST = (
     "qualify_emulation", "soundex_phonetic_blocking",
     "hive_uniontype_emulation", "multibyte_length_semantics",
     "pca_power_iteration_exact", "rebalance_hint_partitioning",
+    "stream_chained_windows", "mann_kendall_trend",
+    "hits_hub_authority", "lorenz_curve_deciles",
+    "source_centroid_cosine", "orc_bloom_filter_write",
 )
 
 
@@ -156,6 +159,7 @@ def load_all() -> None:
         round9b,
         round9c,
         round9d,
+        round9e,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}

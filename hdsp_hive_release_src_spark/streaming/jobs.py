@@ -554,3 +554,41 @@ def trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AvailableNow drain did not terminate within 120s"
         )
     return spark.table(name).orderBy("event_type")
+
+
+def chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregation (Spark 3.4 multiple stateful
+    operators): hourly tumbling counts re-windowed into daily
+    rollups INSIDE one streaming query — window() accepts the
+    upstream window struct as its time column, so the daily stage is
+    a second stateful aggregation fed by finalized hourly windows.
+    Append mode: a window emits once the watermark (max event time −
+    1 h, advanced by the default no-data micro-batch) passes its end,
+    so every day except the still-open last one materializes — the
+    oracle encodes exactly that emit rule. At scale the hourly stage
+    bounds state by HOURS×types and the daily stage by DAYS×types;
+    raw events are never held in state."""
+    ev = read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.col("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("c").cast("long").alias("max_hour"),
+        )
+    )
+    name = run_to_memory(daily, "append", "stream_chain")
+    return spark.table(name).select(
+        F.col("w2.start").alias("day"),
+        "event_type",
+        "n_events",
+        "n_hours",
+        "max_hour",
+    )
