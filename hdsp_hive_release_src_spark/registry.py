@@ -92,6 +92,10 @@ _VERIFY_FIRST = (
     "stream_chained_windows", "mann_kendall_trend",
     "hits_hub_authority", "lorenz_curve_deciles",
     "source_centroid_cosine", "orc_bloom_filter_write",
+    "abtest_proportions_ztest", "burstiness_fano_factor",
+    "seasonal_decompose_additive", "tukey_fences_grouped",
+    "fleiss_kappa_raters", "theil_index_inequality",
+    "csv_write_quote_escape_matrix", "json_lines_gzip_roundtrip",
 )
 
 
@@ -160,6 +164,7 @@ def load_all() -> None:
         round9c,
         round9d,
         round9e,
+        round9f,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
