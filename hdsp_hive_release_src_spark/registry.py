@@ -96,6 +96,10 @@ _VERIFY_FIRST = (
     "seasonal_decompose_additive", "tukey_fences_grouped",
     "fleiss_kappa_raters", "theil_index_inequality",
     "csv_write_quote_escape_matrix", "json_lines_gzip_roundtrip",
+    "fiscal_calendar_445", "largest_remainder_allocation",
+    "skyline_pareto_front", "budget_greedy_selection",
+    "creditcard_luhn_scan", "winsorized_stats_clip",
+    "histogram2d_bins",
 )
 
 
@@ -165,6 +169,7 @@ def load_all() -> None:
         round9d,
         round9e,
         round9f,
+        round9g,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
