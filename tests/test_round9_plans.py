@@ -1,0 +1,96 @@
+"""Plan-shape assertions for the round-9 operators — the scale
+contracts the docstrings claim, checked against the actual physical
+plans: no pair join in the skyline, broadcast joins in the
+graph/centroid queries, column pruning at the parquet scan for the
+rollup-based statistics."""
+
+from __future__ import annotations
+
+import pytest
+
+from hdsp_hive_release_src_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_skyline_has_no_join(spark):
+    """The window formulation must compile to sort+window — any Join
+    node means the quadratic dominance join snuck back in."""
+    plan = _plan(registry.QUERIES["skyline_pareto_front"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_skyline_scan_prunes_columns(spark):
+    plan = _plan(registry.QUERIES["skyline_pareto_front"](spark, SF))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "p_brand" in scan and "p_size" in scan
+    assert "p_name" not in scan and "p_type" not in scan
+
+
+def test_hits_uses_broadcast_joins(spark):
+    """Degree/score tables are node-sized: every per-iteration join
+    must broadcast them, never shuffle the edge list."""
+    plan = _plan(registry.QUERIES["hits_hub_authority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_cosine_broadcasts_totals(spark):
+    plan = _plan(registry.QUERIES["source_centroid_cosine"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_scan_prunes_to_two_columns(spark):
+    plan = _plan(registry.QUERIES["ewma_halving_window"](spark, SF))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "o_orderdate" in scan and "o_totalprice" in scan
+    assert "o_comment" not in scan and "o_orderpriority" not in scan
+
+
+def test_gini_scan_prunes_columns(spark):
+    plan = _plan(
+        registry.QUERIES["gini_concentration_index"](spark, SF)
+    )
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "o_custkey" in scan and "o_totalprice" in scan
+    assert "o_orderpriority" not in scan
+
+
+def test_budget_selection_single_global_window(spark):
+    """One global cumulative-sum window; the quality scoring must
+    stay inside the scan projection (no explode shuffle)."""
+    plan = _plan(registry.QUERIES["budget_greedy_selection"](spark, SF))
+    assert "Window" in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_mann_kendall_pair_join_is_on_rollup(spark):
+    """The O(days²) join must sit ABOVE an aggregation of the scan —
+    joining raw orders would be rows² and is the 100 TB failure."""
+    df = registry.QUERIES["mann_kendall_trend"](spark, SF)
+    plan = _plan(df)
+    first_join = min(
+        i
+        for i in (
+            plan.find("SortMergeJoin"),
+            plan.find("BroadcastHashJoin"),
+            plan.find("BroadcastNestedLoopJoin"),
+        )
+        if i >= 0
+    )
+    first_agg = plan.find("HashAggregate")
+    # reading bottom-up in toString: aggregates appear BELOW (after)
+    # the join text — assert an aggregate exists deeper than the
+    # first join mention
+    assert first_agg >= 0 and first_join >= 0
+    assert "HashAggregate" in plan[first_join:]
