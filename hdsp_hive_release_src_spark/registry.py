@@ -100,6 +100,9 @@ _VERIFY_FIRST = (
     "skyline_pareto_front", "budget_greedy_selection",
     "creditcard_luhn_scan", "winsorized_stats_clip",
     "histogram2d_bins",
+    "mom_waterfall_contribution", "iso_week_boundaries",
+    "interval_union_coverage", "tiered_commission_brackets",
+    "two_hop_reach", "neyman_allocation_sampling",
 )
 
 
@@ -170,6 +173,7 @@ def load_all() -> None:
         round9e,
         round9f,
         round9g,
+        round9h,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
