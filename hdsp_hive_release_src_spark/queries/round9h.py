@@ -250,10 +250,6 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tiered marginal commission
 # --------------------------------------------------------------------
 
-#: bracket bounds in cents and permille rates (marginal, tax-style)
-_TIERS = ((0, 10_000_000, 10), (10_000_000, 30_000_000, 25),
-          (30_000_000, None, 40))
-
 _TIER_ORACLE = f"""
 WITH v AS (SELECT o_orderpriority AS pri, {_CENTS} AS c FROM orders),
 per AS (
