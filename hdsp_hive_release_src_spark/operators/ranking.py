@@ -135,3 +135,74 @@ def exact_ntile(
     return ranked.withColumn(
         bucket_col, bucket.cast("long")
     ).drop("__rank")
+
+
+def range_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: list[str],
+    sum_cols: list[str],
+    n_ranges: int = 32,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """df + INCLUSIVE prefix sums of each ``sum_cols`` column in the
+    total ascending order (``order_col`` asc, ``tiebreak_cols`` asc) —
+    the two-pass range-partitioned cumulative sum that replaces
+    ``sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` (a
+    single-partition window) at cluster scale.
+
+    Same 3-job shape as with_global_rank: approx-percentile range
+    split (boundary precision affects BALANCE only), exact per-range
+    partial sums (≤ n_ranges rows collected — the kmeans-codebook
+    pattern), then a bounded within-range cumulative window plus the
+    literal per-range offsets. NULL order values get a dedicated
+    first range (Spark asc = NULLS FIRST), matching the global
+    window's order exactly. The (order_col, *tiebreak_cols) key
+    should be a total order — with ties left unbroken the within-tie
+    cumulative order is nondeterministic, exactly as in the SQL
+    window it replaces."""
+    fracs = [i / n_ranges for i in range(1, n_ranges)]
+    brow = df.agg(
+        F.percentile_approx(
+            order_col, F.array(*[F.lit(x) for x in fracs]), 10000
+        ).alias("bs")
+    ).collect()
+    bounds = [float(b) for b in (brow[0].bs or [])]
+    arr = F.array(*[F.lit(b) for b in bounds]) if bounds else F.array()
+    v = F.col(order_col).cast("double")
+    rid_expr = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.size(F.filter(arr, lambda b: b < v))
+    )
+    withrid = df.withColumn("__rid", rid_expr)
+    partials = (
+        withrid.groupBy("__rid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    # per-range exclusive offsets, one accumulator per summed column
+    offsets: dict[str, dict[int, object]] = {c: {} for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    for row in sorted(partials, key=lambda r: r["__rid"]):
+        for c in sum_cols:
+            offsets[c][row["__rid"]] = acc[c]
+            acc[c] += row[c] or 0
+    order = [F.asc(order_col)] + [F.asc(c) for c in tiebreak_cols]
+    w = (
+        Window.partitionBy("__rid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = withrid
+    for c in sum_cols:
+        off_map = F.create_map(
+            *[
+                F.lit(x)
+                for rid in offsets[c]
+                for x in (rid, offsets[c][rid])
+            ]
+        )
+        out = out.withColumn(
+            prefix + c,
+            F.sum(c).over(w) + F.element_at(off_map, F.col("__rid")),
+        )
+    return out.drop("__rid")

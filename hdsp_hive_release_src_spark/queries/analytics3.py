@@ -61,10 +61,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of wall-clock dependent); monetary is exact integer cents (the
     cents idiom — a float sum would be accumulation-order noise);
     each quartile is ntile(4) over a TOTAL order with user_id
-    tie-break, making assignment deterministic cross-engine. At
-    scale the ntile windows are the only global orderings — swap for
-    the exact-ntile range-split operator (operators/ranking.py) when
-    the user dimension outgrows one partition's sort."""
+    tie-break, making assignment deterministic cross-engine. The
+    three quartile assignments run through the distributed
+    exact-ntile operator (operators/ranking.py: approx-percentile
+    range split + per-range rank + exact offsets — bit-identical to
+    the SQL window by the operator's property tests), so there is NO
+    single-partition global window: the user dimension grows with
+    the fact table, and a partitionless ntile would be a one-task
+    sort at 100 TB. The oracle stays the plain ntile(4) windows."""
     ev = Catalog(spark, sf_dir).events
     anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
     base = (
@@ -81,20 +85,37 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("mx")
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), "user_id")
-    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
-    m_w = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    from hdsp_hive_release_src_spark.operators.ranking import (
+        exact_ntile,
+    )
+
+    scored = base.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+    )
+    scored = exact_ntile(
+        scored, "recency_days", ["user_id"], 4, bucket_col="r_q"
+    )
+    scored = exact_ntile(
+        scored,
+        "frequency",
+        ["user_id"],
+        4,
+        descending=True,
+        bucket_col="f_q",
+    )
+    scored = exact_ntile(
+        scored,
+        "monetary_cents",
+        ["user_id"],
+        4,
+        descending=True,
+        bucket_col="m_q",
+    )
     return (
-        base.select(
-            "user_id",
-            F.col("recency_days").cast("long"),
-            F.col("frequency").cast("long"),
-            "monetary_cents",
-            F.ntile(4).over(r_w).alias("r_q"),
-            F.ntile(4).over(f_w).alias("f_q"),
-            F.ntile(4).over(m_w).alias("m_q"),
-        )
-        .withColumn(
+        scored.withColumn(
             "rfm_code",
             (
                 F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")

@@ -59,7 +59,13 @@ _VERIFY_FIRST = (
     # 14: changed this round (regex anchored to the Relation leaf
     # line per r8 advice; green r8 row predates the change)
     "explain_cbo_stats",
-    # 15-24: late-r8 additions with NO driver row yet (judge-swept
+    # 15: changed this round — the three quartile windows now run
+    # through operators/ranking.exact_ntile (the r8 verdict's one
+    # `weak`: partitionless ntile sorts); bit-identical semantics by
+    # the operator's property tests, but the green r8 row predates
+    # the plan change so it re-certifies.
+    "rfm_segmentation",
+    # 16-25: late-r8 additions with NO driver row yet (judge-swept
     # 10/10 at r8 through the driver-identical pandas path).
     # hll_manual_registers also changed this round (xorshift-multiply
     # hash finalizer, r8 advice).
@@ -68,24 +74,26 @@ _VERIFY_FIRST = (
     "bootstrap_ci_mean", "mann_whitney_u",
     "hll_manual_registers", "ks_two_sample",
     "topo_sort_layers", "autocorr_daily_events",
-    # 25-34: round-9 first wave (SQL/DDL surface; never checked)
+    # 26-35: round-9 first wave (SQL/DDL surface; never checked)
     "group_ordinal_having", "char_varchar_semantics",
     "reflect_java_method", "from_csv_expressions",
     "insert_defaults_surface", "column_comments_ddl",
     "null_partition_handling", "parquet_bloom_filter_write",
     "text_source_options", "sequence_generate_series",
-    # 35-42: round-9 second wave (inference statistics; never checked)
+    # 36-43: round-9 second wave (inference statistics; never checked)
     "welch_t_test", "gini_concentration_index",
     "spearman_rank_corr", "weekday_seasonality_index",
     "ewma_halving_window", "cramers_v_effect",
     "cohens_kappa_raters", "moving_median_window",
-    # 43-50: round-9 third wave (LLM-pipeline / graph; never checked)
+    # 44-50: round-9 third wave (LLM-pipeline / graph; never checked)
     "unicode_nfc_dedup", "degree_assortativity",
     "zipf_rank_frequency", "stratified_kfold_assignment",
     "type_token_ratio_buckets", "bpe_merge_pair_counts",
-    "jensen_shannon_drift", "hapax_legomena_ratio",
-    # --- past the 50 cut: round-9 fourth wave, queued to lead the
-    # r10 window (never checked; local gate green at both scales)
+    "jensen_shannon_drift",
+    # --- past the 50 cut: hapax (displaced by the rfm re-cert) +
+    # round-9 fourth wave, queued to lead the r10 window (never
+    # checked; local gate green at both scales)
+    "hapax_legomena_ratio",
     "qualify_emulation", "soundex_phonetic_blocking",
     "hive_uniontype_emulation", "multibyte_length_semantics",
     "pca_power_iteration_exact", "rebalance_hint_partitioning",

@@ -274,6 +274,32 @@ def test_exact_ntile_has_no_global_window(spark):
         assert "Window" in plan, (name, plan)  # ranked path, partitioned
 
 
+def test_rfm_segmentation_has_no_global_window(spark):
+    """rfm_segmentation's three quartile assignments must run through
+    the range-split exact_ntile (operators/ranking.py) — no
+    partitionless WindowExec (a single-task sort of the entire user
+    dimension at scale) anywhere in the plan."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["rfm_segmentation"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "simple")
+    # the 1-row recency anchor legitimately plans a scalar
+    # Exchange SinglePartition under its BroadcastExchange, so the
+    # check is per-Window-node: a partitioned Window prints THREE
+    # bracket groups ([functions], [partition spec], [order spec]);
+    # a partitionless one prints two.
+    window_lines = [
+        ln for ln in plan.splitlines() if "Window [" in ln
+    ]
+    assert window_lines, plan  # ranked path must be windowed
+    for ln in window_lines:
+        assert ln.count("], [") >= 2, (ln, plan)
+
+
 def test_exact_ntile_matches_sql_ntile(spark):
     """exact_ntile must replicate SQL ntile bit-for-bit, including the
     larger-buckets-first remainder rule and tie handling, on sizes that
