@@ -110,6 +110,15 @@ def main() -> None:
         # so machine-state-dependent timings are explainable per round
         "driver_memory": driver_mem,
         "calibration_s": calibration_s,
+        # r8 verdict item 5: normalize the round-over-round trend by
+        # the fixed-cost probe so ±20-30% box-state noise (which moves
+        # probe and headliners together) separates from real plan
+        # regressions (which move only the query). The reference is
+        # r8's recorded probe on this box.
+        "calibration_ref_s": 0.575,
+        "total_per_calibration": (
+            round(total / calibration_s, 2) if calibration_s else None
+        ),
     }
     t_start = globals().get("_T0", time.time())
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
@@ -138,13 +147,12 @@ STRESS_QUERIES = [
     "semantic_dedup",
     # r8: the sketch tier at 10× — shuffle bounded by sketch size,
     # so these should scale FLAT-ish, not linear; a linear blow-up
-    # here means a sketch silently became a full shuffle. NOTE
-    # heavy_hitters_topk CORRECTLY returns 0 rows on this replica:
-    # make_stress suffixes every token per replica (x1..x9) to keep
-    # the 10× corpus distinct, which dilutes every token below the 2%
-    # threshold — the datapoint measures the two-pass scan cost with
-    # an empty pass-2 candidate set (the no-heavy-hitters regime),
-    # not a vacuous oracle.
+    # here means a sketch silently became a full shuffle. r9: the
+    # stress run uses ε = 0.25% (den=400, STRESS_OVERRIDES) instead
+    # of the production 2%: make_stress's token suffixing dilutes
+    # every variant to base_frac/10 ≈ 0.34% max, so at 2% the r8
+    # datapoint returned 0 rows and never exercised the pass-2
+    # candidate recount. Same two-pass MG plan, non-empty output.
     "heavy_hitters_topk",
     "count_min_sketch_freq",
     # r8: second iterative op at 10× (the r7 verdict's depth ask) —
@@ -158,7 +166,27 @@ STRESS_QUERIES = [
     # state keyed by day×type so state size is bounded by GROUPS,
     # input 10×
     "stream_windowed_counts",
+    # r9 (verdict item 6): third iterative op at 10× — label
+    # propagation is the most shuffle-intensive iterative operator in
+    # the repo (per-round edge join + min-label aggregation until
+    # fixpoint) and had never been stress-timed; the signal is
+    # per-round cost scaling with EDGES and round count staying
+    # data-size-independent (component diameter, not corpus size)
+    "dedup_components",
 ]
+
+# stress-specific variants: same plan, scale-appropriate parameter
+# (see each entry's comment in STRESS_QUERIES)
+def _stress_overrides():
+    from hdsp_hive_release_src_spark.queries.llm9 import (
+        heavy_hitters_tokens_with_den,
+    )
+
+    return {
+        "heavy_hitters_topk": lambda spark, d: (
+            heavy_hitters_tokens_with_den(spark, d, 400)
+        ),
+    }
 
 
 def _calibration(spark) -> float:
@@ -223,12 +251,14 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     ).count()
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, float] = {}
+    overrides = _stress_overrides()
     for name in STRESS_QUERIES:
         if time.time() - t_start > budget:
             timings[name] = -1.0  # budget cut — visible, not silent
             continue
         t0 = time.time()
-        n = registry.QUERIES[name](spark, dst).count()
+        fn = overrides.get(name, registry.QUERIES[name])
+        n = fn(spark, dst).count()
         timings[name] = round(time.time() - t0, 3)
         # output rate in-band: the clone-saturated replica makes the
         # dedup family output-bound (every embedding has 9 verbatim

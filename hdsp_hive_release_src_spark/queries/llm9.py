@@ -51,13 +51,27 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer with fifty. Output is exact and partition-layout
     independent (fuzz-covered); the oracle computes the same answer
     the expensive way."""
+    return heavy_hitters_tokens_with_den(spark, sf_dir, HH_DEN)
+
+
+def heavy_hitters_tokens_with_den(
+    spark: SparkSession, sf_dir: str, den: int
+) -> DataFrame:
+    """The heavy_hitters_topk plan with a caller-chosen exact-rational
+    threshold (frequency > N/den). The bench's 10× stress tier uses
+    den=400 (ε = 0.25%): make_stress keeps replica 0's text verbatim
+    and suffixes replicas 1-9, so every token variant lands at
+    base_frac/10 ≈ 0.34% max — below the production 2% ε, which made
+    the r8 stress datapoint return 0 rows and leave the candidate
+    recount path unmeasured. Same two-pass MG plan, only the summary
+    size (O(den) per partition) changes."""
     d = Catalog(spark, sf_dir).documents
     tok = d.select(
         F.explode(
             F.expr("filter(split(text, ' '), x -> x != '')")
         ).alias("t")
     )
-    hh = heavy_hitters(tok, "t", den=HH_DEN)
+    hh = heavy_hitters(tok, "t", den=den)
     return hh.select(
         F.col("item"), F.col("n"), F.col("frac")
     ).orderBy(F.desc("n"), "item")
