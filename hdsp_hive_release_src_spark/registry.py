@@ -111,6 +111,10 @@ _VERIFY_FIRST = (
     "mom_waterfall_contribution", "iso_week_boundaries",
     "interval_union_coverage", "tiered_commission_brackets",
     "two_hop_reach", "neyman_allocation_sampling",
+    "roc_auc_exact", "kendall_tau_b_grid",
+    "clamped_running_inventory", "funnel_pattern_match",
+    "cosupply_bipartite_projection", "natural_join_semantics",
+    "readability_proxy_bands", "association_rules_lift",
 )
 
 
@@ -182,6 +186,7 @@ def load_all() -> None:
         round9f,
         round9g,
         round9h,
+        round9i,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
