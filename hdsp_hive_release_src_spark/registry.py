@@ -187,6 +187,7 @@ def load_all() -> None:
         round9g,
         round9h,
         round9i,
+        round9j,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
