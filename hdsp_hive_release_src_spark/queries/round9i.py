@@ -638,8 +638,11 @@ def readability_proxy_bands(
 
 #: same basket-size guard as item_cooccurrence_support: users outside
 #: [2, 200] distinct purchased items are excluded whole (a 10k-item
-#: basket would contribute 50M pairs on its own).
-RULES_MIN_SUPPORT = 6
+#: basket would contribute 50M pairs on its own). Support floor of 3
+#: keeps the smoke scale non-vacuous (max pair support at sf0.001 is
+#: 3) while still pruning the singleton-pair noise tier at the gate
+#: scale (sf0.01: 2011 of 4479 pairs survive).
+RULES_MIN_SUPPORT = 3
 
 _RULES_ORACLE = f"""
 WITH it AS (

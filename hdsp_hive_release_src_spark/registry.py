@@ -115,6 +115,10 @@ _VERIFY_FIRST = (
     "clamped_running_inventory", "funnel_pattern_match",
     "cosupply_bipartite_projection", "natural_join_semantics",
     "readability_proxy_bands", "association_rules_lift",
+    "calibration_curve_bins", "cohort_ltv_matrix",
+    "kcore_peeling_profile", "kmv_set_operations",
+    "ra_link_prediction", "binseg_changepoint_gain",
+    "markov_two_step", "stratified_ate_gcomputation",
 )
 
 
@@ -188,6 +192,7 @@ def load_all() -> None:
         round9h,
         round9i,
         round9j,
+        round9k,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
