@@ -119,6 +119,8 @@ _VERIFY_FIRST = (
     "kcore_peeling_profile", "kmv_set_operations",
     "ra_link_prediction", "binseg_changepoint_gain",
     "markov_two_step", "stratified_ate_gcomputation",
+    "rake_keyword_phrases", "try_arith_family",
+    "km_survival_hazard",
 )
 
 
@@ -193,6 +195,7 @@ def load_all() -> None:
         round9i,
         round9j,
         round9k,
+        round9l,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
