@@ -121,6 +121,8 @@ _VERIFY_FIRST = (
     "markov_two_step", "stratified_ate_gcomputation",
     "rake_keyword_phrases", "try_arith_family",
     "km_survival_hazard",
+    "vwap_rolling", "max_drawdown_profile", "rsi_indicator",
+    "bollinger_breach", "yoy_revenue_growth", "abc_pareto_class",
 )
 
 
@@ -196,6 +198,7 @@ def load_all() -> None:
         round9j,
         round9k,
         round9l,
+        round9m,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
