@@ -123,6 +123,8 @@ _VERIFY_FIRST = (
     "km_survival_hazard",
     "vwap_rolling", "max_drawdown_profile", "rsi_indicator",
     "bollinger_breach", "yoy_revenue_growth", "abc_pareto_class",
+    "dataframe_transpose", "approx_top_k_contract",
+    "sql_scripting_block",
 )
 
 
@@ -199,6 +201,7 @@ def load_all() -> None:
         round9k,
         round9l,
         round9m,
+        round9n,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
