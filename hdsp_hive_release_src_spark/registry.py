@@ -125,6 +125,8 @@ _VERIFY_FIRST = (
     "bollinger_breach", "yoy_revenue_growth", "abc_pareto_class",
     "dataframe_transpose", "approx_top_k_contract",
     "sql_scripting_block",
+    "table_diff_reconcile", "sessionization_capped",
+    "business_days_lag", "share_of_parent_rollup",
 )
 
 
@@ -202,6 +204,7 @@ def load_all() -> None:
         round9l,
         round9m,
         round9n,
+        round9o,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
