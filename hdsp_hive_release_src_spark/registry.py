@@ -127,6 +127,7 @@ _VERIFY_FIRST = (
     "sql_scripting_block",
     "table_diff_reconcile", "sessionization_capped",
     "business_days_lag", "share_of_parent_rollup",
+    "python_datasource_kvlog", "pandas_grouped_agg_udaf",
 )
 
 
@@ -205,6 +206,7 @@ def load_all() -> None:
         round9m,
         round9n,
         round9o,
+        round9p,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
