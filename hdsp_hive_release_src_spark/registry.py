@@ -128,6 +128,7 @@ _VERIFY_FIRST = (
     "table_diff_reconcile", "sessionization_capped",
     "business_days_lag", "share_of_parent_rollup",
     "python_datasource_kvlog", "pandas_grouped_agg_udaf",
+    "python_datasource_stream", "python_datasource_writer",
 )
 
 
@@ -207,6 +208,7 @@ def load_all() -> None:
         round9n,
         round9o,
         round9p,
+        round9q,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
