@@ -129,6 +129,7 @@ _VERIFY_FIRST = (
     "business_days_lag", "share_of_parent_rollup",
     "python_datasource_kvlog", "pandas_grouped_agg_udaf",
     "python_datasource_stream", "python_datasource_writer",
+    "python_datasource_stream_sink",
 )
 
 
@@ -209,6 +210,7 @@ def load_all() -> None:
         round9o,
         round9p,
         round9q,
+        round9r,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
