@@ -130,6 +130,7 @@ _VERIFY_FIRST = (
     "python_datasource_kvlog", "pandas_grouped_agg_udaf",
     "python_datasource_stream", "python_datasource_writer",
     "python_datasource_stream_sink",
+    "fetch_with_ties_emulation", "user_path_trigrams",
 )
 
 
@@ -211,6 +212,7 @@ def load_all() -> None:
         round9p,
         round9q,
         round9r,
+        round9s,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
