@@ -131,6 +131,8 @@ _VERIFY_FIRST = (
     "python_datasource_stream", "python_datasource_writer",
     "python_datasource_stream_sink",
     "fetch_with_ties_emulation", "user_path_trigrams",
+    "theta_sketch_set_ops", "kll_quantile_sketch_contract",
+    "approx_top_k_merge_contract", "bitmap_set_algebra",
 )
 
 
@@ -213,6 +215,7 @@ def load_all() -> None:
         round9q,
         round9r,
         round9s,
+        round9t,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
