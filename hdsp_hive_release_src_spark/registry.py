@@ -133,7 +133,7 @@ _VERIFY_FIRST = (
     "fetch_with_ties_emulation", "user_path_trigrams",
     "theta_sketch_set_ops", "kll_quantile_sketch_contract",
     "approx_top_k_merge_contract", "bitmap_set_algebra",
-    "epoch_timezone_matrix",
+    "epoch_timezone_matrix", "try_conversion_matrix",
 )
 
 
@@ -218,6 +218,7 @@ def load_all() -> None:
         round9s,
         round9t,
         round9u,
+        round9v,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
