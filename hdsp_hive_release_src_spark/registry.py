@@ -134,6 +134,7 @@ _VERIFY_FIRST = (
     "theta_sketch_set_ops", "kll_quantile_sketch_contract",
     "approx_top_k_merge_contract", "bitmap_set_algebra",
     "epoch_timezone_matrix", "try_conversion_matrix",
+    "regr_full_family", "string_bit_misc_matrix",
 )
 
 
@@ -219,6 +220,7 @@ def load_all() -> None:
         round9t,
         round9u,
         round9v,
+        round9w,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
