@@ -135,6 +135,7 @@ _VERIFY_FIRST = (
     "approx_top_k_merge_contract", "bitmap_set_algebra",
     "epoch_timezone_matrix", "try_conversion_matrix",
     "regr_full_family", "string_bit_misc_matrix",
+    "hyperbolic_trig_matrix",
 )
 
 
@@ -221,6 +222,7 @@ def load_all() -> None:
         round9u,
         round9v,
         round9w,
+        round9x,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
