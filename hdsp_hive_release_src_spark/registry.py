@@ -136,6 +136,7 @@ _VERIFY_FIRST = (
     "epoch_timezone_matrix", "try_conversion_matrix",
     "regr_full_family", "string_bit_misc_matrix",
     "hyperbolic_trig_matrix",
+    "st_wkb_surface", "window_time_semantics",
 )
 
 
@@ -223,6 +224,7 @@ def load_all() -> None:
         round9v,
         round9w,
         round9x,
+        round9y,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
