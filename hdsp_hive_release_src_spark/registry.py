@@ -137,6 +137,7 @@ _VERIFY_FIRST = (
     "regr_full_family", "string_bit_misc_matrix",
     "hyperbolic_trig_matrix",
     "st_wkb_surface", "window_time_semantics",
+    "morton_zorder_clustering",
 )
 
 
@@ -225,6 +226,7 @@ def load_all() -> None:
         round9w,
         round9x,
         round9y,
+        round9z,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
