@@ -138,6 +138,7 @@ _VERIFY_FIRST = (
     "hyperbolic_trig_matrix",
     "st_wkb_surface", "window_time_semantics",
     "morton_zorder_clustering",
+    "ivm_delta_aggregate", "cascading_erasure_audit",
 )
 
 
@@ -227,6 +228,7 @@ def load_all() -> None:
         round9x,
         round9y,
         round9z,
+        round9aa,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
