@@ -139,6 +139,7 @@ _VERIFY_FIRST = (
     "st_wkb_surface", "window_time_semantics",
     "morton_zorder_clustering",
     "ivm_delta_aggregate", "cascading_erasure_audit",
+    "k_anonymity_audit", "touch_attribution",
 )
 
 
@@ -229,6 +230,7 @@ def load_all() -> None:
         round9y,
         round9z,
         round9aa,
+        round9ab,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
