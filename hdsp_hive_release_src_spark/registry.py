@@ -140,6 +140,7 @@ _VERIFY_FIRST = (
     "morton_zorder_clustering",
     "ivm_delta_aggregate", "cascading_erasure_audit",
     "k_anonymity_audit", "touch_attribution",
+    "conformal_prediction_interval", "quantile_treatment_effect",
 )
 
 
@@ -231,6 +232,7 @@ def load_all() -> None:
         round9z,
         round9aa,
         round9ab,
+        round9ac,
     )
 
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
