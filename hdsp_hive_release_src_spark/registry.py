@@ -41,58 +41,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly the entries whose pass status is least established. Names not
 # listed keep their registration (module import) order after these.
 _VERIFY_FIRST = (
-    # --- round 9, positions 1-50 = the driver's sampling window ---
-    # 1-13: streaming re-certs. read_events_stream grew a
-    # directory-layout branch late in r8 after the r8 window was cut
-    # (the driver's file-layout code path is the IDENTICAL
-    # pre-existing branch, and all 16 streaming queries re-passed the
-    # local sf0.01 gate post-change) — per the freshness rule the
-    # family re-certifies first. stream_rate_source /
-    # stream_checkpoint_exactly_once / stream_output_modes already
-    # earned green r8 rows post-change.
-    "stream_windowed_counts", "stream_sessionization",
-    "stream_stateful_user_agg", "stream_stream_join",
-    "stream_parquet_sink", "stream_dedup", "stream_late_data",
-    "stream_dedup_within_watermark", "stream_static_join",
-    "stream_foreachbatch_upsert", "stream_trigger_available_now",
-    "batch_session_window", "watermark_lateness_profile",
-    # 14: changed this round (regex anchored to the Relation leaf
-    # line per r8 advice; green r8 row predates the change)
-    "explain_cbo_stats",
-    # 15: changed this round — the three quartile windows now run
-    # through operators/ranking.exact_ntile (the r8 verdict's one
-    # `weak`: partitionless ntile sorts); bit-identical semantics by
-    # the operator's property tests, but the green r8 row predates
-    # the plan change so it re-certifies.
-    "rfm_segmentation",
-    # 16-25: late-r8 additions with NO driver row yet (judge-swept
-    # 10/10 at r8 through the driver-identical pandas path).
-    # hll_manual_registers also changed this round (xorshift-multiply
-    # hash finalizer, r8 advice).
-    "ann_recall_audit", "histogram_numeric_contract",
-    "show_columns_views_surface", "context_ngrams_top",
-    "bootstrap_ci_mean", "mann_whitney_u",
-    "hll_manual_registers", "ks_two_sample",
-    "topo_sort_layers", "autocorr_daily_events",
-    # 26-35: round-9 first wave (SQL/DDL surface; never checked)
-    "group_ordinal_having", "char_varchar_semantics",
-    "reflect_java_method", "from_csv_expressions",
-    "insert_defaults_surface", "column_comments_ddl",
-    "null_partition_handling", "parquet_bloom_filter_write",
-    "text_source_options", "sequence_generate_series",
-    # 36-43: round-9 second wave (inference statistics; never checked)
-    "welch_t_test", "gini_concentration_index",
-    "spearman_rank_corr", "weekday_seasonality_index",
-    "ewma_halving_window", "cramers_v_effect",
-    "cohens_kappa_raters", "moving_median_window",
-    # 44-50: round-9 third wave (LLM-pipeline / graph; never checked)
-    "unicode_nfc_dedup", "degree_assortativity",
-    "zipf_rank_frequency", "stratified_kfold_assignment",
-    "type_token_ratio_buckets", "bpe_merge_pair_counts",
-    "jensen_shannon_drift",
-    # --- past the 50 cut: hapax (displaced by the rfm re-cert) +
-    # round-9 fourth wave, queued to lead the r10 window (never
-    # checked; local gate green at both scales)
+    # --- round 10: every name below has NEVER had a driver
+    # correctness row (91 such queries remain after the r9 window —
+    # all judge-swept green at r9 through the driver-identical pandas
+    # path, all locally gate-checked at sf0.01). Positions 1-50 =
+    # the r10 driver window = round-9 waves 4-18 in wave order;
+    # positions 51-91 (waves 19-29) queue to lead the r11 window.
+    # The full r9 window (streaming re-certs, rfm re-plan,
+    # explain_cbo/hll changes, waves 1-3) landed 50/50 green in
+    # CORRECTNESS_r09 and rotates out per the freshness rule.
     "hapax_legomena_ratio",
     "qualify_emulation", "soundex_phonetic_blocking",
     "hive_uniontype_emulation", "multibyte_length_semantics",
