@@ -176,7 +176,13 @@ STRESS_QUERIES = [
 ]
 
 # stress-specific variants: same plan, scale-appropriate parameter
-# (see each entry's comment in STRESS_QUERIES)
+# (see each entry's comment in STRESS_QUERIES). The parameter tags are
+# emitted in the stress JSON ("overrides" key) so a round-over-round
+# reader sees the non-default parameterization in-band, not only in
+# source comments.
+STRESS_OVERRIDE_TAGS = {"heavy_hitters_topk": "den=400"}
+
+
 def _stress_overrides():
     from hdsp_hive_release_src_spark.queries.llm9 import (
         heavy_hitters_tokens_with_den,
@@ -291,6 +297,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         "sf_equivalent": 1.0,
         "unit": "sec",
         "queries": timings,
+        "overrides": STRESS_OVERRIDE_TAGS,
         "output_rows_per_sec": rows_per_sec,
         "value": total,
         "stress_calibration_s": stress_calibration_s,

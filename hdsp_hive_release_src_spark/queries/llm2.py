@@ -245,21 +245,36 @@ def near_dup_component_labels(
         .withColumn("lbl", F.col("id"))
         .cache()
     )
+    # Convergence probe every 2nd round: sum(min-label) is monotonically
+    # non-increasing, so equality across a two-round gap proves both
+    # rounds were no-ops. Halves the scalar-collect job count, and each
+    # probe (the action that materializes the newest generation) is the
+    # point where every superseded cached generation is unpersisted —
+    # executor memory holds at most 3 label generations instead of 12.
     prev_sum = None
-    for _ in range(12):  # diameter bound; near-dup clusters are tiny
+    superseded: list[DataFrame] = []
+    for i in range(12):  # diameter bound; near-dup clusters are tiny
         msgs = edges.join(
             labels, edges.src == labels.id
         ).select(F.col("dst").alias("id"), "lbl")
+        superseded.append(labels)
         labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .cache()
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if i % 2 == 1:
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            for gen in superseded:
+                gen.unpersist()
+            superseded = []
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    # the loop always exits just after a probe (i odd or break), so the
+    # final generation is materialized and the edge cache is done
+    edges.unpersist()
     return labels
 
 
