@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.ranking import with_global_rank
 from hdsp_hive_release_src_spark.registry import query
 
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
@@ -160,21 +161,20 @@ def gini_concentration_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     made total by (cents, custkey) — equal values commute inside
     Σ i·xᵢ, so the tiebreak cannot change the result, it only pins
     the plan. Scale shape: map-side per-customer agg first (the big
-    shuffle), then a single sort of one row PER CUSTOMER — the sort
-    never sees raw orders. Σ i·xᵢ runs DECIMAL(38,0)/HUGEINT; the
-    quotient is the only float."""
+    shuffle), then the rank runs through operators/ranking.
+    with_global_rank — range-partitioned exact global row_number, no
+    single-partition window anywhere (the per-customer dimension grows
+    with the fact table, so the bounded-input argument the daily-grain
+    queries use does not apply here). Σ i·xᵢ runs
+    DECIMAL(38,0)/HUGEINT; the quotient is the only float."""
     o = Catalog(spark, sf_dir).orders
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.expr(_CENTS)).alias("cents")
     )
-    from pyspark.sql.window import Window
-
-    ranked = spend.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .alias("rn"),
+    ranked, _n = with_global_rank(
+        spend, "cents", ["o_custkey"], rank_col="rn"
     )
+    ranked = ranked.select("cents", "rn")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("tot"),

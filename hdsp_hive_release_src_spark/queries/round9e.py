@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.ranking import with_global_rank
 from hdsp_hive_release_src_spark.registry import query
 from hdsp_hive_release_src_spark.sources.io import scratch_path
 
@@ -307,23 +308,21 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked ascending by spend (total order via the custkey tiebreak),
     cut into ten equal-count bins, cumulative revenue share in exact
     permille. Same scale shape as the Gini query: per-customer agg
-    first, then a sort over one row per customer."""
+    first, then the rank runs through operators/ranking.
+    with_global_rank — range-partitioned exact global row_number, no
+    single-partition window over the per-customer dimension (it grows
+    with the fact table). The only remaining window orders the ten
+    decile rows."""
     o = Catalog(spark, sf_dir).orders
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.expr(_CENTS)).cast("long").alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .alias("rn"),
+    ranked, nc = with_global_rank(
+        spend, "cents", ["o_custkey"], rank_col="rn"
     )
-    n = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("nc"),
-        F.sum("cents").cast("long").alias("tot"),
-    )
+    n = ranked.agg(F.sum("cents").cast("long").alias("tot"))
     dec = ranked.crossJoin(B(n)).select(
-        F.expr("CAST(((rn - 1) * 10) div nc AS BIGINT)").alias(
+        F.expr(f"CAST(((rn - 1) * 10) div {nc} AS BIGINT)").alias(
             "decile"
         ),
         "cents",

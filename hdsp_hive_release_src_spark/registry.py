@@ -50,12 +50,21 @@ _VERIFY_FIRST = (
     # The full r9 window (streaming re-certs, rfm re-plan,
     # explain_cbo/hll changes, waves 1-3) landed 50/50 green in
     # CORRECTNESS_r09 and rotates out per the freshness rule.
+    #
+    # Positions 1-2: changed THIS round — the customer-spend ranking
+    # now runs through operators/ranking.with_global_rank instead of a
+    # partitionless Window.orderBy (r9 advice; the per-customer
+    # dimension grows with the fact table). Identical output by
+    # tests/test_prefix_sum_lockstep.py's swap tests, but the green r9
+    # rows predate the plan change, so they re-certify first and
+    # displace the window's last two names into the r11 queue.
+    "gini_concentration_index", "lorenz_curve_deciles",
     "hapax_legomena_ratio",
     "qualify_emulation", "soundex_phonetic_blocking",
     "hive_uniontype_emulation", "multibyte_length_semantics",
     "pca_power_iteration_exact", "rebalance_hint_partitioning",
     "stream_chained_windows", "mann_kendall_trend",
-    "hits_hub_authority", "lorenz_curve_deciles",
+    "hits_hub_authority",
     "source_centroid_cosine", "orc_bloom_filter_write",
     "abtest_proportions_ztest", "burstiness_fano_factor",
     "seasonal_decompose_additive", "tukey_fences_grouped",

@@ -111,6 +111,102 @@ def test_ks_two_sample_invariant_under_prefix_sum_swap(spark):
     assert got == want
 
 
+def test_gini_invariant_under_global_rank_swap(spark):
+    """gini_concentration_index ships with with_global_rank (r10 — the
+    per-customer dimension grows with the fact table, so the global
+    window had to go). This test recomposes the statistic with the
+    plain partitionless window it replaced and asserts the identical
+    single row, proving the swap exact in the OTHER direction."""
+    registry.load_all()
+    want = registry.QUERIES["gini_concentration_index"](
+        spark, SF_DIR
+    ).collect()
+    assert len(want) == 1
+
+    o = Catalog(spark, SF_DIR).orders
+    cents_expr = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(f"sum({cents_expr})").alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("rn"),
+    )
+    got = (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("tot"),
+            F.sum(
+                F.col("rn").cast("decimal(38,0)") * F.col("cents")
+            ).alias("s"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("tot").cast("long").alias("total_cents"),
+            F.expr(
+                "(2.0 * CAST(s AS DOUBLE) - (n + 1.0) *"
+                " CAST(tot AS DOUBLE)) / (CAST(n AS DOUBLE) *"
+                " CAST(tot AS DOUBLE))"
+            ).alias("gini"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_lorenz_invariant_under_global_rank_swap(spark):
+    """lorenz_curve_deciles recomposed with the plain partitionless
+    row_number window must emit the identical ten rows."""
+    registry.load_all()
+    want = registry.QUERIES["lorenz_curve_deciles"](
+        spark, SF_DIR
+    ).collect()
+    assert want
+
+    o = Catalog(spark, SF_DIR).orders
+    cents_expr = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(f"sum({cents_expr})").cast("long").alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("rn"),
+    )
+    n = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        F.expr("CAST(((rn - 1) * 10) div nc AS BIGINT)").alias(
+            "decile"
+        ),
+        "cents",
+        "tot",
+    )
+    agg = dec.groupBy("decile", "tot").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    got = (
+        agg.select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.expr(
+                "CAST(sum(decile_cents) OVER (ORDER BY decile) * 1000"
+                " div tot AS BIGINT)"
+            ).alias("cum_share_permille"),
+        )
+        .orderBy("decile")
+        .collect()
+    )
+    assert got == want
+
+
 def test_mann_whitney_invariant_under_prefix_sum_swap(spark):
     """mann_whitney_u recomposed tie-group-wise over the distinct
     cents grid: 2·avg tied rank = 2·cum_cnt − cnt + 1 per value, so
