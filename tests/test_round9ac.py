@@ -80,3 +80,43 @@ def test_qte_matches_python_replay(spark):
         assert r.q_treat_cents == pick(arms[1])
         assert r.q_ctrl_cents == pick(arms[0])
         assert r.qte_cents == r.q_treat_cents - r.q_ctrl_cents
+
+
+def test_conformal_matches_python_replay(spark):
+    """Independent Python replay (the Bollinger discipline): split,
+    per-priority integer-mean model, q̂ as the ⌈0.9·(n+1)⌉-th order
+    statistic of a plain sorted list, and coverage — recomputed from
+    raw rows without the TakeOrdered probe or any SQL — must pin all
+    four output cells to the digit."""
+    row = registry.QUERIES["conformal_prediction_interval"](
+        spark, SF
+    ).collect()[0]
+    raw = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            (F.col("o_orderkey") % 2).alias("arm"),
+            F.col("o_orderpriority").alias("p"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    sums: dict = defaultdict(lambda: [0, 0])
+    for r in raw:
+        if r.arm == 0:
+            sums[r.p][0] += r.c
+            sums[r.p][1] += 1
+    mu = {p: s // n for p, (s, n) in sums.items()}
+    cal = sorted(abs(r.c - mu[r.p]) for r in raw if r.arm == 0)
+    test = [abs(r.c - mu[r.p]) for r in raw if r.arm == 1 and r.p in mu]
+    n_cal = len(cal)
+    k = math.ceil(0.9 * (n_cal + 1))
+    q_hat = cal[k - 1]
+    covered = sum(1 for r in test if r <= q_hat)
+    assert row.n_cal == n_cal
+    assert row.n_test == len(test)
+    assert row.q_hat_cents == q_hat
+    assert row.coverage_permille == covered * 1000 // len(test)

@@ -181,3 +181,44 @@ def test_association_rule_metric_bounds(spark):
         assert r.sup_ab <= min(r.sup_i1, r.sup_i2)
         assert 0 < r.conf_permille <= 1000
         assert r.lift_milli > 0
+
+
+def test_kendall_tau_b_agrees_with_brute_pair_model(spark):
+    """Independent brute-force model (the Bollinger discipline): C, D,
+    tie counts and tau_b recomputed from the RAW row pairs with numpy
+    sign comparisons — no contingency grid, no shared cross-multiplied
+    identity — must equal the query's output exactly (tau_b to the
+    rounded 6th)."""
+    import numpy as np
+
+    row = registry.QUERIES["kendall_tau_b_grid"](spark, SF).collect()[0]
+    raw = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("int")
+            .alias("x"),
+            F.month("o_orderdate").alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([r.x for r in raw], dtype=np.int64)
+    y = np.array([r.y for r in raw], dtype=np.int64)
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(len(x), k=1)
+    prod = sx[iu] * sy[iu]
+    c = int((prod > 0).sum())
+    d = int((prod < 0).sum())
+    tie_x = int((sx[iu] == 0).sum())
+    tie_y = int((sy[iu] == 0).sum())
+    n0 = len(x) * (len(x) - 1) // 2
+    assert row.c_pairs == c
+    assert row.d_pairs == d
+    assert row.tie_x == tie_x
+    assert row.tie_y == tie_y
+    assert row.n0 == n0
+    import math
+
+    tau = (c - d) / math.sqrt((n0 - tie_x) * (n0 - tie_y))
+    assert row.tau_b == round(tau, 6)

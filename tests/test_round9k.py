@@ -107,3 +107,49 @@ def test_ate_all_row_is_weighted_fold_of_strata(spark):
     assert a.effect_cents == (q if num >= 0 else -q)
     for r in per:
         assert r.effect_cents == r.mean_treat_cents - r.mean_ctrl_cents
+
+
+def test_binseg_gain_agrees_with_float_sse_model(spark):
+    """Independent float model (the Bollinger discipline): the gain
+    the query computes by the cross-multiplied integer identity
+    (S_k·n − k·S_n)² / (k·(n−k)·n) must agree with the DEFINITION it
+    encodes — the between-segment variance reduction
+    SSE(all) − SSE(left) − SSE(right) computed in plain float from
+    the daily values. An impl+oracle pair sharing a wrong factor
+    passes parity; it cannot pass this."""
+    import numpy as np
+
+    rows = registry.QUERIES["binseg_changepoint_gain"](
+        spark, SF
+    ).collect()
+    daily = sorted(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(value*100) as bigint)) div 10000"
+                " as bigint)"
+            ).alias("v")
+        )
+        .collect(),
+        key=lambda r: r.d,
+    )
+    v = np.array([r.v for r in daily], dtype=np.float64)
+    n = len(v)
+
+    def sse(a):
+        return float(((a - a.mean()) ** 2).sum()) if len(a) else 0.0
+
+    total = sse(v)
+    float_gain = {
+        daily[k - 1].d: total - sse(v[:k]) - sse(v[k:])
+        for k in range(1, n)
+    }
+    for row in rows:
+        # integer gain floors the exact rational; float SSE carries
+        # ~1 ulp of 1e10-scale arithmetic — tolerance 2 units covers
+        # both without masking a wrong factor (gains are O(1e6+))
+        assert abs(row.gain - float_gain[row.split_date]) <= 2.0, row
+    # and the query's top split is the float model's argmax
+    best = max(float_gain.items(), key=lambda t: (t[1], t[0]))
+    assert rows[0].split_date == best[0]
