@@ -1,0 +1,121 @@
+"""Distributed connected components via alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond", 2014) — the bounded-fan-out form of the min-label fixpoint.
+
+Why this exists next to plain min-label propagation
+(queries/llm2.py::near_dup_component_labels): label propagation runs
+O(component diameter) rounds and each round's message volume is the
+full edge list; the star algorithm contracts paths, so the round count
+is O(log² n) in the worst case and every round strictly shrinks the
+edge set toward one (node → component-min) star edge per node. At
+100 TB — where a single adversarial chain-shaped component would put
+label propagation over any fixed round bound — this is the form that
+terminates.
+
+Representation invariant: every edge is stored (u, v) with u > v
+("bigger points at smaller"). Both operations preserve it:
+
+- large-star: for each node n over the SYMMETRIZED neighborhood,
+  m = min(Γ(n) ∪ {n}); emit (v, m) for every neighbor v > n. Since
+  m ≤ n < v, outputs keep u > v.
+- small-star: neighborhoods read directly off the directed list
+  (Γ(u) = {v : (u,v) ∈ E} — all strictly smaller); m = min Γ(u);
+  emit (v, m) for v ∈ Γ(u), v ≠ m, plus (u, m). Again u > v holds.
+
+Each operation is one groupBy-min plus one broadcast-free join on the
+node key, followed by distinct() — shuffle volume is bounded by the
+current edge list, and the edge list only contracts. Convergence is
+probed with a (count, xxhash64-sum) signature: the algorithm is a
+monotone contraction, so an unchanged signature across one full
+large+small round is the fixpoint (star edges are fixed points of
+both operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: round bound — the alternating algorithm needs O(log² n) rounds;
+#: 20 covers n beyond any conceivable node-id space (the probe breaks
+#: far earlier on real graphs).
+_MAX_ROUNDS = 20
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    )
+    return e.where(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    joined = e.join(mins, "u")
+    moved = joined.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    parent = mins.select("u", F.col("m").alias("v"))
+    return moved.unionByName(parent).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, lbl) for every node of the undirected edge list, where
+    lbl is the minimum node id of the node's connected component —
+    the same contract as min-label propagation, via the alternating
+    star algorithm. Isolated nodes don't occur in an edge list; union
+    them in separately if the caller has any."""
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(_MAX_ROUNDS):
+        # localCheckpoint, not cache: every round's plan would
+        # otherwise NEST the previous round's full logical plan, and
+        # analysis/optimization time grows with the square of the
+        # round number (observed: 6 s → 11 s per round by round 3 on
+        # a 60-node chain). Checkpointing truncates the lineage to
+        # the materialized partitions, so each round plans against a
+        # flat scan; superseded round storage is freed by the
+        # ContextCleaner once unreferenced.
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # (count, xor-of-hashes): order-insensitive, overflow-free
+        # under ANSI (a 64-bit SUM of hashes overflows), exact on a
+        # distinct edge list
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)),
+                F.expr("bit_xor(xxhash64(u, v))"),
+            ).collect()[0]
+        )
+        e = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        nodes.join(e.select(F.col("u").alias("id"), "v"), "id", "left")
+        .select("id", F.coalesce("v", "id").alias("lbl"))
+    )

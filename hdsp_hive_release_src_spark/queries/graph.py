@@ -1,6 +1,6 @@
 """SURVEY.md §2.2 continued — iterative graph analytics on DataFrames:
 PageRank over the customer↔supplier trade graph. Together with k-means
-(centroid iteration) and dedup_components (label propagation) this
+(centroid iteration) and dedup_components (star contraction) this
 completes the iterative-algorithm triad: fixed-round dataflow loops
 where each round is one join + one aggregation, no driver-side state
 beyond the loop counter.
@@ -148,7 +148,7 @@ def _bfs_oracle() -> str:
 def shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted shortest-path BFS over the trade graph from the
     lowest-keyed customer node — the fourth member of the iterative
-    triad (pagerank, k-means, label propagation): each of the 4 fixed
+    triad (pagerank, k-means, star components): each of the 4 fixed
     rounds is one frontier join + one min-aggregation, all relational
     (no driver-side frontier set — the frontier IS a DataFrame, so it
     scales with the cluster, not the driver). Distances alternate

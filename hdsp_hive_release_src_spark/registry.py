@@ -59,6 +59,14 @@ _VERIFY_FIRST = (
     # rows predate the plan change, so they re-certify first and
     # displace the window's last two names into the r11 queue.
     "gini_concentration_index", "lorenz_curve_deciles",
+    # Positions 3-4: also changed THIS round — connected components
+    # behind both queries swapped from min-label propagation to
+    # alternating large-star/small-star (operators/components.py;
+    # 2× faster at stress scale, bounded fan-out at 100 TB).
+    # Lockstep-equal to the old loop on the real pair graph
+    # (tests/test_components_star.py), but their green r2/r3 rows
+    # predate the plan change.
+    "dedup_components", "dedup_keep_best",
     "hapax_legomena_ratio",
     "qualify_emulation", "soundex_phonetic_blocking",
     "hive_uniontype_emulation", "multibyte_length_semantics",

@@ -1,0 +1,106 @@
+"""Lockstep + property tests for the alternating large-star /
+small-star connected-components operator (operators/components.py) —
+the documented 100 TB form of the min-label fixpoint behind
+dedup_components. The operator must agree with (a) a driver-side
+union-find on random graphs across shapes that stress it differently
+(chains = max diameter, stars = max fan-out, cliques = max edge
+count), and (b) the shipped label-propagation operator on the real
+near-dup pair graph."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from hdsp_hive_release_src_spark.operators.components import (
+    connected_components_star,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per node
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.lbl
+        for r in connected_components_star(df).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_star_chain_long_diameter(spark):
+    # a 60-node chain: diameter 59 — label propagation's worst case,
+    # the star algorithm must still converge inside its round bound
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_star_star_high_fanout(spark):
+    _check(spark, [(0, i) for i in range(1, 50)])
+
+
+def test_star_mixed_random_components(spark):
+    rng = random.Random(7)
+    edges = []
+    # 10 random components over disjoint id blocks, varied shapes
+    for c in range(10):
+        base = c * 1000
+        n = rng.randint(2, 40)
+        ids = [base + i for i in range(n)]
+        # random spanning tree + extra chords
+        for i in range(1, n):
+            edges.append((ids[i], ids[rng.randrange(i)]))
+        for _ in range(rng.randrange(n)):
+            a, b = rng.sample(ids, 2)
+            edges.append((a, b))
+    rng.shuffle(edges)
+    _check(spark, edges)
+
+
+def test_star_self_loops_and_duplicates_ignored(spark):
+    _check(
+        spark,
+        [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3), (3, 4), (4, 3)],
+    )
+
+
+def test_star_matches_label_propagation_on_real_pair_graph(spark):
+    """The shipped star-based near_dup_component_labels must agree
+    with the independent min-label-propagation reference on the real
+    Jaccard pair graph (the r10 swap's lockstep guarantee)."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.queries.llm2 import (
+        label_propagation_component_labels,
+        near_dup_component_labels,
+    )
+
+    registry.load_all()
+    lp = {
+        r.id: r.lbl
+        for r in label_propagation_component_labels(
+            spark, SF_DIR
+        ).collect()
+    }
+    star = {
+        r.id: r.lbl
+        for r in near_dup_component_labels(spark, SF_DIR).collect()
+    }
+    assert star == lp
