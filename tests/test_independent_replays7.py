@@ -29,8 +29,11 @@ def test_vwap_rolling_matches_python_replay(spark):
     from hdsp_hive_release_src_spark.queries.round9m import TA_WIN
 
     registry.load_all()
+    def _as_date(v):
+        return v.date() if isinstance(v, dt.datetime) else v
+
     rows = [
-        (r.d, r.vol, r.vwap_cents, r[3])
+        (_as_date(r.d), r.vol, r.vwap_cents, r[3])
         for r in registry.QUERIES["vwap_rolling"](spark, SF).collect()
     ]
     li = _tbl("lineitem")
