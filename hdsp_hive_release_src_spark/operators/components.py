@@ -36,10 +36,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: round bound — the alternating algorithm needs O(log² n) rounds;
-#: 20 covers n beyond any conceivable node-id space (the probe breaks
-#: far earlier on real graphs).
-_MAX_ROUNDS = 20
+#: Round bound. Measured on path graphs (the adversarial shape), the
+#: alternating loop converges in ~log2(n) + 11 combined rounds (100k
+#: chain: 18; 200k: 19) — so 64 covers chains past 2^50 nodes, far
+#: beyond any real id space, and the signature probe breaks out long
+#: before the bound on real graphs (extra headroom is free). If the
+#: bound is ever exhausted the operator RAISES rather than returning
+#: silently-wrong labels (see connected_components_star).
+_MAX_ROUNDS = 64
+
+#: Observability: realized round count of the most recent
+#: connected_components_star call in this process. bench.py emits it
+#: in the stress JSON so a convergence regression (e.g. a
+#: canonicalization bug doubling rounds) is visible in-band rather
+#: than only as wall-clock.
+LAST_RUN_ROUNDS: int | None = None
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -83,15 +94,26 @@ def connected_components_star(
     """(id, lbl) for every node of the undirected edge list, where
     lbl is the minimum node id of the node's connected component —
     the same contract as min-label propagation, via the alternating
-    star algorithm. Isolated nodes don't occur in an edge list; union
-    them in separately if the caller has any."""
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    star algorithm. Nodes whose only edges are self-loops are their
+    own singleton component: (id, id). Isolated nodes don't occur in
+    an edge list; union them in separately if the caller has any.
+
+    Raises RuntimeError if the round bound is exhausted before the
+    convergence signature stabilizes — a wrong answer must never be
+    returned silently."""
+    global LAST_RUN_ROUNDS
+    # Node universe from the RAW columns, before the self-loop filter:
+    # a node appearing only as (x, x) still owns an output row, same
+    # as the union-find / label-propagation contract.
     nodes = (
-        e.select(F.col("u").alias("id"))
-        .unionByName(e.select(F.col("v").alias("id")))
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
+    rounds = 0
     for _ in range(_MAX_ROUNDS):
         # localCheckpoint, not cache: every round's plan would
         # otherwise NEST the previous round's full logical plan, and
@@ -112,9 +134,18 @@ def connected_components_star(
             ).collect()[0]
         )
         e = nxt
+        rounds += 1
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    LAST_RUN_ROUNDS = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after "
+            f"{_MAX_ROUNDS} rounds — refusing to return labels that "
+            f"may not be component minima (last signature {prev_sig})"
+        )
     return (
         nodes.join(e.select(F.col("u").alias("id"), "v"), "id", "left")
         .select("id", F.coalesce("v", "id").alias("lbl"))

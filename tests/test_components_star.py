@@ -104,3 +104,34 @@ def test_star_matches_label_propagation_on_real_pair_graph(spark):
         for r in near_dup_component_labels(spark, SF_DIR).collect()
     }
     assert star == lp
+
+
+def test_star_self_loop_only_node_kept(spark):
+    # A node whose ONLY edges are self-loops must still get an
+    # (id, id) output row (r10 advice): the node universe is derived
+    # from the raw columns before the u != v canonicalization filter.
+    _check(spark, [(1, 2), (9, 9)])
+
+
+def test_star_records_realized_round_count(spark):
+    from hdsp_hive_release_src_spark.operators import components
+
+    _check(spark, [(i, i + 1) for i in range(20)])
+    assert isinstance(components.LAST_RUN_ROUNDS, int)
+    assert 1 <= components.LAST_RUN_ROUNDS <= components._MAX_ROUNDS
+
+
+def test_star_raises_on_round_exhaustion(spark, monkeypatch):
+    # Non-convergence must be a hard error, never silently-wrong
+    # labels (r10 advice). A 60-node chain needs ~log2(60)+k rounds;
+    # cap at 1 and the fixpoint probe cannot stabilize.
+    from hdsp_hive_release_src_spark.operators import components
+
+    monkeypatch.setattr(components, "_MAX_ROUNDS", 1)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["src", "dst"]
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        components.connected_components_star(df).collect()
