@@ -49,3 +49,37 @@ def test_window_prefix_is_verify_first_order():
     registry.load_all()
     prefix = list(registry.QUERIES)[:WINDOW]
     assert prefix == list(registry._VERIFY_FIRST[:WINDOW])
+
+
+def test_certification_map_is_regenerated():
+    """certification.LAST_CERTIFIED must match the CORRECTNESS files
+    on disk — if this fails a new driver round landed; run
+    `python tools/gen_certification.py` to refresh the rotation."""
+    import json
+
+    from hdsp_hive_release_src_spark.certification import LAST_CERTIFIED
+
+    latest: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        for name in json.loads(f.read_text()):
+            latest[name] = max(rnd, latest.get(name, 0))
+    assert LAST_CERTIFIED == latest
+
+
+def test_rotation_recycles_stalest_first():
+    """Beyond the changed/never-certified prefix, the walk order must
+    ascend by last-certified round — oldest certifications recycle
+    into the driver window first (the standing rotation policy)."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.certification import LAST_CERTIFIED
+
+    registry.load_all()
+    prefix = len(registry._CHANGED_THIS_ROUND) + len(
+        registry._NEVER_CERTIFIED
+    )
+    tail = registry._VERIFY_FIRST[prefix:]
+    rounds = [LAST_CERTIFIED[n] for n in tail]
+    assert rounds == sorted(rounds)
+    # and the full order covers the whole registry exactly once
+    assert set(registry._VERIFY_FIRST) == set(registry.QUERIES)
