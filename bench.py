@@ -195,13 +195,14 @@ def _stress_overrides():
     }
 
 
-def _calibration(spark) -> float:
+def _calibration(spark, runs: int = 2) -> float:
     """Constant-size in-memory groupBy (20M synthetic rows, 10k keys,
-    32 partitions): best-of-2, same protocol as the headliners."""
+    32 partitions): best-of-``runs``, same protocol as the
+    headliners (best-of-2); the stress section uses best-of-3."""
     from pyspark.sql import functions as F
 
     best = float("inf")
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.time()
         (
             spark.range(0, 20_000_000, 1, 32)
@@ -261,8 +262,12 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     # SAME code and replica in one session), so the JSON carries the
     # box state measured at stress time — a slow stress total with a
     # proportionally slow stress_calibration_s is box noise, not a
-    # plan regression.
-    stress_calibration_s = _calibration(spark)
+    # plan regression. Best-of-3, not the headline best-of-2: taken
+    # once after heavy cache churn, a single shot of this probe has
+    # been observed 2.3× off the headline probe in the SAME process
+    # (r9: 1.495 vs 0.645), which made the normalized stress series
+    # move opposite to every raw number; the extra run bounds that.
+    stress_calibration_s = _calibration(spark, runs=3)
     print(f"# stress calibration: {stress_calibration_s}s",
           file=sys.stderr)
     timings: dict[str, float] = {}
@@ -293,12 +298,19 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         print(f"# stress10x {name}: {timings[name]}s ({n} rows)",
               file=sys.stderr)
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # Realized star-components round count (set by the
+    # dedup_components stress run above): a convergence regression —
+    # e.g. a canonicalization bug doubling rounds — shows up here
+    # in-band instead of only as wall-clock.
+    from hdsp_hive_release_src_spark.operators import components
+
     return {
         "sf_equivalent": 1.0,
         "unit": "sec",
         "queries": timings,
         "overrides": STRESS_OVERRIDE_TAGS,
         "output_rows_per_sec": rows_per_sec,
+        "components_star_rounds": components.LAST_RUN_ROUNDS,
         "value": total,
         "stress_calibration_s": stress_calibration_s,
         "stress_per_calibration": (

@@ -102,15 +102,25 @@ def connected_components_star(
     convergence signature stabilizes — a wrong answer must never be
     returned silently."""
     global LAST_RUN_ROUNDS
+    # Checkpoint the raw 2-column projection FIRST: both the node
+    # universe and the canonical edge list derive from it, and without
+    # the checkpoint each would re-run the caller's (often expensive —
+    # the Jaccard pair generation) upstream plan independently.
+    # Measured: deriving nodes straight off `edges` re-ran pair
+    # generation at the final join and took dedup_components from
+    # ~6 s to ~56 s at stress scale.
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     # Node universe from the RAW columns, before the self-loop filter:
     # a node appearing only as (x, x) still owns an output row, same
     # as the union-find / label-propagation contract.
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
     )
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    e = _canon(raw, "u", "v").localCheckpoint(eager=True)
     prev_sig = None
     converged = False
     rounds = 0

@@ -590,28 +590,30 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: HAVING subquery → aggregate-then-semi-join; the
-    aggregate and the outer join share the orderkey partitioning so the
-    exchange is reused."""
+    """TPC-H Q18, single-pass form. The textbook plan (HAVING subquery
+    → aggregate + semi-join + re-aggregate) scans lineitem TWICE and
+    never actually shares the orderkey exchange under AQE (measured
+    r11: two parquet scans + LeftSemi in the executed plan). But Q18's
+    output sum_qty is grouped by exactly the order's key columns, so
+    it EQUALS the per-order quantity the HAVING clause filters on —
+    one groupBy(l_orderkey) serves both roles. One lineitem scan, one
+    shuffle, then the >250 survivors (a vanishing fraction of orders
+    at any scale) join orders/customer; AQE sizes those joins at
+    runtime. tests/test_r11_plan_shapes.py asserts the single-scan,
+    semi-join-free shape."""
     cat = Catalog(spark, sf_dir)
-    li = cat.lineitem
-    big = (
-        li.groupBy("l_orderkey")
+    qty = (
+        cat.lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .where(F.col("sq") > 250)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_ok"),
-                li.l_orderkey == F.col("big_ok"), "left_semi")
-        .join(cat.orders, li.l_orderkey == F.col("o_orderkey"))
+        qty.join(cat.orders, qty.l_orderkey == F.col("o_orderkey"))
         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sq", 2).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)

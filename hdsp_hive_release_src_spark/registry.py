@@ -59,9 +59,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round's CORRECTNESS file.
 
 # round 11: operators/components.py changed (round-bound hardening +
-# self-loop node-universe fix) — re-certify both queries built on it.
+# self-loop node-universe fix) — re-certify both queries built on it —
+# and q18 re-planned to the single-scan form (queries/tpch.py).
 _CHANGED_THIS_ROUND = (
-    "dedup_components", "dedup_keep_best",
+    "dedup_components", "dedup_keep_best", "q18_large_volume_customer",
 )
 
 # round-9 waves 19-29, judge-swept green at r10 but never in a driver
