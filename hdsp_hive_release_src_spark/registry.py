@@ -58,45 +58,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 11: operators/components.py changed (round-bound hardening +
-# self-loop node-universe fix) — re-certify both queries built on it —
-# and q18 re-planned to the single-scan form (queries/tpch.py).
-_CHANGED_THIS_ROUND = (
-    "dedup_components", "dedup_keep_best", "q18_large_volume_customer",
-)
+# round 12: no query-plan changes yet — the round's budget goes to
+# recycling the r1/r2 certification tail (44 r1 + 37 r2 stale rows
+# predating the r4 testdata migration and r8 canonicalization
+# hardening). Add names here the moment a plan changes.
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
-# round-9 waves 19-29, judge-swept green at r10 but never in a driver
-# window; they fill positions 3-46 of the r11 window.
-_NEVER_CERTIFIED = (
-    "binseg_changepoint_gain", "markov_two_step",
-    "stratified_ate_gcomputation", "rake_keyword_phrases",
-    "try_arith_family", "km_survival_hazard", "vwap_rolling",
-    "max_drawdown_profile", "rsi_indicator", "bollinger_breach",
-    "yoy_revenue_growth", "abc_pareto_class", "dataframe_transpose",
-    "approx_top_k_contract", "sql_scripting_block",
-    "table_diff_reconcile", "sessionization_capped",
-    "business_days_lag", "share_of_parent_rollup",
-    "python_datasource_kvlog", "pandas_grouped_agg_udaf",
-    "python_datasource_stream", "python_datasource_writer",
-    "python_datasource_stream_sink", "fetch_with_ties_emulation",
-    "user_path_trigrams", "theta_sketch_set_ops",
-    "kll_quantile_sketch_contract", "approx_top_k_merge_contract",
-    "bitmap_set_algebra", "epoch_timezone_matrix",
-    "try_conversion_matrix", "regr_full_family",
-    "string_bit_misc_matrix", "hyperbolic_trig_matrix",
-    "st_wkb_surface", "window_time_semantics",
-    "morton_zorder_clustering", "ivm_delta_aggregate",
-    "cascading_erasure_audit", "k_anonymity_audit",
-    "touch_attribution", "conformal_prediction_interval",
-    "quantile_treatment_effect",
-)
+# Empty as of r11: every registered query now has a driver correctness
+# row (CORRECTNESS_r11 landed all 44 wave-19-29 names). New queries go
+# here until their first driver row lands.
+_NEVER_CERTIFIED: tuple[str, ...] = ()
 
 _VERIFY_FIRST = (
     _CHANGED_THIS_ROUND
     + _NEVER_CERTIFIED
     + tuple(
         sorted(
-            (n for n in LAST_CERTIFIED if n not in _CHANGED_THIS_ROUND),
+            (
+                n
+                for n in LAST_CERTIFIED
+                if n not in _CHANGED_THIS_ROUND
+                and n not in _NEVER_CERTIFIED
+            ),
             key=lambda n: (LAST_CERTIFIED[n], n),
         )
     )

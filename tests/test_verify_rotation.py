@@ -61,24 +61,11 @@ def test_certification_map_is_regenerated():
     builder's last commit), so the map legitimately lags by exactly
     one round until the next builder session regenerates it. Two
     rounds stale is a real failure."""
-    import json
-
     from hdsp_hive_release_src_spark.certification import LAST_CERTIFIED
+    from tools.gen_certification import build
 
-    files = sorted(
-        REPO.glob("CORRECTNESS_r*.json"),
-        key=lambda f: int(f.stem.split("_r")[1]),
-    )
-
-    def build(upto: int) -> dict[str, int]:
-        latest: dict[str, int] = {}
-        for f in files[:upto]:
-            rnd = int(f.stem.split("_r")[1])
-            for name in json.loads(f.read_text()):
-                latest[name] = max(rnd, latest.get(name, 0))
-        return latest
-
-    assert LAST_CERTIFIED in (build(len(files)), build(len(files) - 1))
+    n_files = len(list(REPO.glob("CORRECTNESS_r*.json")))
+    assert LAST_CERTIFIED in (build(n_files), build(n_files - 1))
 
 
 def test_rotation_recycles_stalest_first():
