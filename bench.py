@@ -270,47 +270,64 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     stress_calibration_s = _calibration(spark, runs=3)
     print(f"# stress calibration: {stress_calibration_s}s",
           file=sys.stderr)
+    from hdsp_hive_release_src_spark.operators import components
+
+    # Reset so components_star_rounds below can only reflect the
+    # stress-tier dedup_components run, never a stale value from an
+    # earlier headline/entry call in the same process (r11 ADVICE).
+    components.LAST_RUN_ROUNDS = None
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, float] = {}
     overrides = _stress_overrides()
     for name in STRESS_QUERIES:
+        # Best-of-2, same protocol as the headliners (r11 verdict: two
+        # consecutive rounds the single-shot stress series needed
+        # out-of-band adjudication — semantic_dedup shipped 13.5 s in
+        # BENCH_r11 on code unchanged since r6; idle-box re-reads were
+        # 4.0-5.4 s). Budget rule: a query is either best-of-2 or cut
+        # (-1.0) — never a shipped single-shot number.
         if time.time() - t_start > budget:
             timings[name] = -1.0  # budget cut — visible, not silent
             continue
-        # isolate each single-shot timing from the previous queries'
-        # leftover cached plans: stress queries that persist (label
-        # propagation caches 12 rounds; pagerank caches edges) would
-        # otherwise contend for executor memory with whatever earlier
-        # queries left cached, and the LAST query in the tier pays a
-        # position-dependent eviction/spill tax (dedup_components was
-        # observed at 9 s early-session vs 50 s after the tier grew).
-        spark.catalog.clearCache()
-        t0 = time.time()
         fn = overrides.get(name, registry.QUERIES[name])
-        n = fn(spark, dst).count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for shot in range(2):
+            # isolate each timing from the previous queries' leftover
+            # cached plans: stress queries that persist (label
+            # propagation caches 12 rounds; pagerank caches edges)
+            # would otherwise contend for executor memory, and the
+            # LAST query in the tier pays a position-dependent
+            # eviction/spill tax (dedup_components was observed at
+            # 9 s early-session vs 50 s after the tier grew).
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = fn(spark, dst).count()
+            shot_s = time.time() - t0
+            best = min(best, shot_s)
+            if shot == 0 and time.time() - t_start + shot_s > budget:
+                # can't afford the confirming shot — cut the query
+                # rather than ship a single-shot number
+                best = -1.0
+                print(f"# stress10x {name}: cut (no budget for "
+                      f"2nd shot; 1st was {shot_s:.1f}s)",
+                      file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
         # output rate in-band: the clone-saturated replica makes the
         # dedup family output-bound (every embedding has 9 verbatim
         # twins), so wall-clock alone misreads as a regression —
         # pairs/s makes the regime self-explaining in the JSON
         if timings[name] > 0:
             rows_per_sec[name] = round(n / timings[name], 1)
-        print(f"# stress10x {name}: {timings[name]}s ({n} rows)",
-              file=sys.stderr)
+            print(f"# stress10x {name}: {timings[name]}s ({n} rows)",
+                  file=sys.stderr)
     total = round(sum(v for v in timings.values() if v > 0), 3)
-    # Realized star-components round count (set by the
-    # dedup_components stress run above): a convergence regression —
-    # e.g. a canonicalization bug doubling rounds — shows up here
-    # in-band instead of only as wall-clock.
-    from hdsp_hive_release_src_spark.operators import components
-
-    return {
+    out = {
         "sf_equivalent": 1.0,
         "unit": "sec",
         "queries": timings,
         "overrides": STRESS_OVERRIDE_TAGS,
         "output_rows_per_sec": rows_per_sec,
-        "components_star_rounds": components.LAST_RUN_ROUNDS,
         "value": total,
         "stress_calibration_s": stress_calibration_s,
         "stress_per_calibration": (
@@ -319,6 +336,20 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             else None
         ),
     }
+    # Realized star-components round count — a convergence regression
+    # (e.g. a canonicalization bug doubling rounds) shows up in-band
+    # instead of only as wall-clock. Emitted only when the stress-tier
+    # dedup_components actually ran (r11 ADVICE: an unconditional read
+    # could mislabel a stale headline value as the stress measurement).
+    if timings.get("dedup_components", -1.0) > 0:
+        out["components_star_rounds"] = components.LAST_RUN_ROUNDS
+        # soft bound, in-band (bench never throws in aux sections);
+        # the hard assert lives in tests/test_components*.py
+        out["components_rounds_ok"] = (
+            components.LAST_RUN_ROUNDS is not None
+            and components.LAST_RUN_ROUNDS <= 8
+        )
+    return out
 
 
 if __name__ == "__main__":

@@ -106,6 +106,29 @@ def test_star_matches_label_propagation_on_real_pair_graph(spark):
     assert star == lp
 
 
+def test_real_graph_converges_well_under_round_bound(spark):
+    """Convergence observability on the REAL pair graphs (r11 verdict
+    item 7): dedup_keep_best shares the star operator with the
+    stress-tier dedup_components, and until now only the stress JSON
+    exposed the realized round count. Alternating star contraction is
+    O(log^2 n) — the real near-dup graphs converge in 2-3 rounds; a
+    future pair-graph change inflating that toward the 64-round bound
+    must fail a test, not just move a bench number."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.operators import components
+
+    registry.load_all()
+    for name in ("dedup_components", "dedup_keep_best"):
+        components.LAST_RUN_ROUNDS = None
+        registry.QUERIES[name](spark, SF_DIR).count()
+        assert components.LAST_RUN_ROUNDS is not None, name
+        assert components.LAST_RUN_ROUNDS <= 8, (
+            f"{name}: star components took "
+            f"{components.LAST_RUN_ROUNDS} rounds (bound 8) — "
+            f"convergence regressed"
+        )
+
+
 def test_star_self_loop_only_node_kept(spark):
     # A node whose ONLY edges are self-loops must still get an
     # (id, id) output row (r10 advice): the node universe is derived
