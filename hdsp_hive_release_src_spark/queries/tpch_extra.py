@@ -159,34 +159,43 @@ def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (late = shipped >60d after order): suppliers who
-    were the ONLY late shipper on multi-supplier orders. EXISTS/NOT
-    EXISTS pair → per-order late-supplier counts, filter count == 1 —
-    one aggregation replaces two correlated subqueries."""
+    were the ONLY late shipper on multi-supplier orders.
+
+    Single-scan form (r12 scan-count audit; previously two lineitem
+    scans — one for the multi-supplier filter, one for the late
+    pairs): join lineitem to orders once, dedup to (order, supplier,
+    ever_late) pairs with a partial-combining two-level aggregate,
+    then derive per order in one pass the distinct-supplier count, the
+    distinct-late-supplier count, and the sole late supplier key.
+    ns > 1 AND n_late == 1 is exactly the EXISTS / NOT-EXISTS pair.
+    Shuffles: lineitem once by (orderkey, suppkey) with map-side
+    combine, then the ~4x-smaller pair set by orderkey."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .where(F.col("ns") > 1)
-        .select("l_orderkey")
-    )
-    late = (
-        li.join(cat.orders, li.l_orderkey == F.col("o_orderkey"))
-        .where(
+    joined = li.join(
+        cat.orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        ).alias("is_late"),
+    )
+    pairs = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late")
     )
     sole = (
-        late.join(multi, "l_orderkey", "left_semi")
-        .groupBy("l_orderkey")
+        pairs.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_late"),
-            F.max("l_suppkey").alias("the_suppkey"),
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(F.col("late").cast("int")).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "the_suppkey"
+            ),
         )
-        .where(F.col("n_late") == 1)
+        .where((F.col("ns") > 1) & (F.col("n_late") == 1))
     )
     return (
         sole.join(
@@ -272,15 +281,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose total traded value exceeds a
-    fraction (0.06%) of the global total — scalar-subquery threshold as a
-    1-row broadcast cross join (both aggregates scan once each)."""
+    fraction (0.06%) of the global total.
+
+    Single-scan form (r12 scan-count audit): the global total is the
+    sum of the per-part sums, so one lineitem groupBy serves both the
+    threshold and the output. Spark has no plan-level sharing for the
+    two consumers (exchange reuse does not fire across the scalar-agg
+    branch — measured), so the parts-sized aggregate is eagerly
+    localCheckpoint-ed and the threshold collected as a 1-row scalar.
+    At 100 TB this trades the second full lineitem scan (~100 TB of
+    IO) for a parts-sized (~SF x 200k rows) local materialization."""
     li = Catalog(spark, sf_dir).lineitem
     val = F.col("l_extendedprice") * F.col("l_quantity")
-    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("v"))
-    total = li.agg((F.sum(val) * 0.0006).alias("threshold"))
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(val).alias("v"))
+        .localCheckpoint()
+    )
+    threshold = per_part.agg(F.sum("v") * 0.0006).first()[0]
     return (
-        per_part.join(B(total))
-        .where(F.col("v") > F.col("threshold"))
+        per_part.where(F.col("v") > F.lit(threshold))
         .select("l_partkey", F.round("v", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )

@@ -58,11 +58,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 12: no query-plan changes yet — the round's budget goes to
-# recycling the r1/r2 certification tail (44 r1 + 37 r2 stale rows
-# predating the r4 testdata migration and r8 canonicalization
-# hardening). Add names here the moment a plan changes.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# round 12: the scan-count audit (tests/test_scan_counts.py) re-planned
+# q11 (threshold now derived from the checkpointed per-part aggregate —
+# one lineitem scan instead of two) and q21 (single lineitem+orders
+# join with a two-level pair aggregate replacing the separate
+# multi-supplier and late-pair scans). Re-certify both first; the rest
+# of the window recycles the r1/r2 certification tail.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "q11_important_parts",
+    "q21_sole_late_supplier",
+)
 
 # Empty as of r11: every registered query now has a driver correctness
 # row (CORRECTNESS_r11 landed all 44 wave-19-29 names). New queries go

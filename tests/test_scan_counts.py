@@ -1,0 +1,101 @@
+"""Fact-table scan-count pins for the TPC-H set (r11 verdict item 6).
+
+q18's two-scan shape hid for ten rounds because correctness and even
+decent wall-clock don't expose an avoidable extra scan of the biggest
+table — at 100 TB a second lineitem pass is ~100 TB of wasted IO. This
+test counts the `Location ... lineitem|orders` leaves in each query's
+formatted plan and pins the expected number, so any re-plan (or an
+optimizer change) that adds a fact scan fails loudly.
+
+Pins of 2 are deliberate and commented; anything unexplained is a
+re-plan candidate, not a new pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hdsp_hive_release_src_spark.plans import explain_str
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> (lineitem scans, orders scans). Comments justify every
+# non-obvious pin.
+EXPECTED = {
+    "q1_pricing_summary": (1, 0),
+    # no partsupp table in this schema — lineitem plays its role, so
+    # the min-cost-supplier aggregation reads lineitem once
+    "q2_min_cost_supplier": (1, 0),
+    "q3_shipping_priority": (1, 1),
+    "q4_order_priority": (1, 1),
+    "q5_local_supplier_volume": (1, 1),
+    "q6_revenue_forecast": (1, 0),
+    "q7_volume_shipping": (1, 1),
+    "q8_market_share": (1, 1),
+    "q9_product_profit": (1, 0),
+    "q10_returned_items": (1, 1),
+    # r12 re-plan: per-part aggregate is localCheckpoint-ed and the
+    # global threshold collected from it, so the FINAL plan reads the
+    # checkpoint — zero parquet scans; the one real lineitem scan
+    # happens when the query function materializes the checkpoint
+    "q11_important_parts": (0, 0),
+    "q12_priority_shipping": (1, 1),
+    "q13_customer_distribution": (0, 1),
+    "q14_promo_effect": (1, 0),
+    # scalar-max-of-view shape: the revenue view feeds both the output
+    # rows and the max() subquery, and the view is supplier-sized at
+    # the JOIN key level, so the second scan is the cheaper trade vs a
+    # single-partition global window (r11 verdict: pin 2)
+    "q15_top_supplier": (2, 0),
+    "q16_supplier_count": (1, 0),
+    # correlated per-part avg: the per-part aggregate must join back
+    # to the base lineitem rows, and lineitem itself is too big to
+    # checkpoint — the second scan is irreducible (r11 verdict: pin 2)
+    "q17_small_quantity_revenue": (2, 0),
+    "q18_large_volume_customer": (1, 1),
+    "q19_discount_revenue": (1, 0),
+    "q20_promo_shippers": (1, 0),
+    # r12 re-plan: one lineitem+orders join with a two-level pair
+    # aggregate replaced the separate multi-supplier and late-pair
+    # subplans (was 2 lineitem scans)
+    "q21_sole_late_supplier": (1, 1),
+    "q22_global_sales": (0, 1),
+}
+
+
+def _scan_counts(plan: str) -> tuple[int, int]:
+    li = sum(
+        1
+        for ln in plan.splitlines()
+        if "Location" in ln and "lineitem" in ln
+    )
+    od = sum(
+        1
+        for ln in plan.splitlines()
+        if "Location" in ln and "orders" in ln
+    )
+    return li, od
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_fact_scan_count_pinned(spark, name):
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
+    assert _scan_counts(plan) == EXPECTED[name], (
+        f"{name}: fact-table scan count drifted from the pinned "
+        f"(lineitem, orders)={EXPECTED[name]} — an added scan is "
+        f"~100 TB of extra IO at scale; re-plan or justify a new pin"
+    )
+
+
+def test_every_tpch_query_is_pinned():
+    """A new §2.1 query must land with a scan-count pin."""
+    import re
+
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    tpch = {n for n in registry.QUERIES if re.match(r"q\d+_", n)}
+    assert tpch == set(EXPECTED)
