@@ -142,14 +142,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
+    # r12 scan-count re-plan: df is count(*) of the (doc, term) rows
+    # per term — the tf table has exactly one row per (doc, term) —
+    # so ONE aggregation chain serves tf-sum and df together instead
+    # of a second tokenize scan for countDistinct. Remaining scans:
+    # the tokenize pass + the column-pruned count(*) for N (parquet
+    # footer metadata at any scale).
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.groupBy("term")
-        .agg(F.sum("tf").alias("total_tf"))
-        .join(df, "term")
-        .join(B(n))
+        stats.join(B(n))
         .select(
             "term",
             F.round(

@@ -138,8 +138,15 @@ def kl_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-sized) corpus distribution."""
     d = Catalog(spark, sf_dir).documents
     wc = d.select("source", F.explode(F.split("text", " ")).alias("w"))
-    per_source = wc.groupBy("source", "w").agg(
-        F.count(F.lit(1)).alias("c")
+    # r12 scan-count re-plan: corpus and corpus_tot derive from the
+    # (source, word) count table and each re-executed the tokenize
+    # pipeline (THREE corpus scans measured). Checkpointing the TF
+    # table makes the query one corpus scan (the jsd twin got the
+    # identical fix); values are unchanged, only lineage.
+    per_source = (
+        wc.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     w_tot = Window.partitionBy("source")
     corpus = per_source.groupBy("w").agg(F.sum("c").alias("cc"))

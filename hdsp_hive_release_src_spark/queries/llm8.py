@@ -310,31 +310,44 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
     )
     bk = tok.select("doc_id", "lang", bucket.alias("b"))
-    tgt = (
-        bk.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # r12 scan-count re-plan (was FIVE corpus scans: tgt, src, and
+    # their two total aggregates each re-executed the tokenize
+    # pipeline, plus the scoring pass). Both bucket models and both
+    # totals are sums over the per-(doc, bucket) counts, so ONE
+    # aggregation serves the whole model side; the 64-row stats table
+    # is eagerly localCheckpoint-ed (the q11 idiom — Spark has no
+    # plan-level sharing across the scalar-agg branch) so the totals
+    # and ratio derive without touching the corpus again. Model build
+    # = 1 scan, scoring = 1 scan — the "scanned twice" the docstring
+    # always promised. All inputs to lr are the same exact integers
+    # as before (tc of an en-absent bucket is 0 via the conditional
+    # sum, exactly as the old left-join coalesce produced).
+    cnt = bk.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    src = bk.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
-    tgt_n = tgt.agg(F.sum("tc").alias("tn"))
-    src_n = src.agg(F.sum("sc").alias("sn"))
-    ratio = (
-        src.join(tgt, "b", "left")
-        .join(B(tgt_n))
-        .join(B(src_n))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                     / (F.col("tn") + 64))
-                    / ((F.col("sc") + 1.0) / (F.col("sn") + 64))
-                ),
-                6,
-            ).alias("lr"),
+    stats = (
+        cnt.groupBy("b")
+        .agg(
+            F.sum("n").alias("sc"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
+            ).alias("tc"),
         )
+        .localCheckpoint()
     )
-    cnt = bk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    tots = stats.agg(
+        F.sum("tc").alias("tn"), F.sum("sc").alias("sn")
+    )
+    ratio = stats.join(B(tots)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("tc") + 1.0) / (F.col("tn") + 64))
+                / ((F.col("sc") + 1.0) / (F.col("sn") + 64))
+            ),
+            6,
+        ).alias("lr"),
+    )
     return (
         cnt.join(B(ratio), "b")
         .select(

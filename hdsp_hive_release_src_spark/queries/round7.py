@@ -189,6 +189,12 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a 1-arg lambda: a 2-arg one would be read as (element, index)
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
+    # r12 scan-count re-plan: the corpus-stats aggregate derives from
+    # tf and re-executed the tokenize scan (TWO corpus scans
+    # measured). tf is six narrow columns per document — eagerly
+    # localCheckpoint-ed, the whole query is ONE corpus scan plus a
+    # doc-count-sized local materialization (at 100 TB: ~2% of the
+    # text volume vs a second full scan + re-tokenize).
     tf = d.select(
         "doc_id",
         F.size(toks).alias("dl"),
@@ -196,7 +202,7 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             term_freq(t).alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint()
     tot = tf.agg(
         F.count(F.lit(1)).alias("n"),
         (

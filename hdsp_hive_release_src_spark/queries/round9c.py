@@ -545,8 +545,17 @@ def jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = d.select("source", F.explode(F.split("text", " ")).alias("w")).where(
         F.col("w") != ""
     )
-    per_source = wc.groupBy("source", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # r12 scan-count re-plan: tots/corpus/ctot all derive from the
+    # (source, word) count table, and each derivation re-executed the
+    # tokenize pipeline (FOUR corpus scans measured). The term-
+    # frequency table is eagerly localCheckpoint-ed — the production
+    # "materialize the TF table" move — so the whole query costs ONE
+    # corpus scan plus vocab-sized local IO. Row values are identical;
+    # only the lineage changes.
+    per_source = (
+        wc.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     tots = per_source.groupBy("source").agg(
         F.sum("c").cast("long").alias("tot")
