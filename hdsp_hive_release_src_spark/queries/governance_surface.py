@@ -582,13 +582,26 @@ def funnel_windowed_strict(
     same exchange reused down the chain; no windows, no inequality
     joins (the deadline rides as a join-filter residual)."""
     ev = Catalog(spark, sf_dir).events
+    # r12 scan-count fix: each stage plus each final count re-ran the
+    # events scan (6 measured). One scan materializes the three event
+    # types; the per-user stage anchors v and c are checkpointed too
+    # (user-sized) because each is consumed by both the next stage
+    # and its funnel count.
+    base = (
+        ev.where(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("event_type", "user_id", "ts")
+        .localCheckpoint()
+    )
     v = (
-        ev.where(F.col("event_type") == "view")
+        base.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s1"))
+        .localCheckpoint()
     )
     c = (
-        ev.where(F.col("event_type") == "click")
+        base.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(
             (F.col("ts") > F.col("s1"))
@@ -596,9 +609,10 @@ def funnel_windowed_strict(
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("s2"))
+        .localCheckpoint()
     )
     p = (
-        ev.where(F.col("event_type") == "purchase")
+        base.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .where(
             (F.col("ts") > F.col("s2"))

@@ -73,6 +73,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint shape. Undirected-as-two-directed edges keep every node's
     out-degree positive (no dangling-mass redistribution term)."""
     cat = Catalog(spark, sf_dir)
+    # r12 scan-count fix: every iteration (and the out-degree and
+    # rank-init branches) re-executed the orders x lineitem join from
+    # parquet — 14 fact scans measured at runtime with zero exchange
+    # reuse. The distinct pair list is eagerly localCheckpoint-ed
+    # (the components.py discipline): one fact scan total, all loop
+    # bodies re-derive edges from the edge-sized checkpoint.
     pairs = (
         cat.orders.where(F.col("o_custkey") < 60)
         .join(
@@ -84,6 +90,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("cn").alias("src"), F.col("sn").alias("dst")
@@ -156,6 +163,9 @@ def shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     after 4 hops are excluded by both engines. The oracle unrolls the
     identical rounds as CTEs."""
     cat = Catalog(spark, sf_dir)
+    # r12 scan-count fix: each BFS round's frontier join re-executed
+    # the fact join (78 scans measured); one eager checkpoint of the
+    # pair list makes the whole walk one fact scan.
     pairs = (
         cat.orders.where(F.col("o_custkey") < 60)
         .join(
@@ -166,6 +176,7 @@ def shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        .localCheckpoint()
     )
     fwd = pairs.select(
         F.concat(F.lit("c"), "c").alias("src"),
@@ -291,6 +302,12 @@ def triangle_clustering_coeff(
         .agg(F.count(F.lit(1)).alias("nshare"))
         .where(F.col("nshare") >= _TRI_MIN_SHARED)
         .select("s1", "s2")
+        # r12 scan-count fix: the degree, orientation, two wedge
+        # sides and the closing join each re-executed the projection
+        # self-join from parquet — 94 fact scans measured. Checkpoint
+        # the (sparse) projected edge list once; everything downstream
+        # derives from it.
+        .localCheckpoint()
     )
     deg = (
         proj.select(F.col("s1").alias("node"))
@@ -309,10 +326,13 @@ def triangle_clustering_coeff(
     lower_first = (F.col("deg1") < F.col("deg2")) | (
         (F.col("deg1") == F.col("deg2")) & (F.col("s1") < F.col("s2"))
     )
+    # oriented feeds both wedge sides and the closing join — one more
+    # edge-sized checkpoint keeps those three consumers off the
+    # orientation join's lineage
     oriented = ed.select(
         F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
         F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
-    )
+    ).localCheckpoint()
     # wedges from shared pivot u: (u→v), (u→w) with v < w is one
     # candidate per unordered pair; close against either orientation
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")

@@ -81,11 +81,14 @@ def conformal_prediction_interval(
     q̂, coverage) to the digit. Model and q̂ are broadcast scalars;
     the residual passes are plain scans."""
     o = Catalog(spark, sf_dir).orders
+    # r12 scan-count fix: the model, calibration, q-hat probe and
+    # test branches each re-scanned orders (6 measured); the narrow
+    # (arm, priority, cents) projection is checkpointed once.
     s = o.select(
         (F.col("o_orderkey") % 2).alias("arm"),
         F.col("o_orderpriority").alias("p"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    )
+    ).localCheckpoint()
     model = (
         s.where(F.col("arm") == 0)
         .groupBy("p")

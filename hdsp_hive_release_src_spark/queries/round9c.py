@@ -188,6 +188,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
         )
         .distinct()
+        # r12 scan-count fix: the degree table and both endpoint
+        # joins re-executed the fact join (6 scans measured); one
+        # edge-sized checkpoint
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("cn").alias("src"), F.col("sn").alias("dst")

@@ -326,13 +326,24 @@ def pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096 cells of state — and each iteration is a broadcast-sized
     64-row mat-vec, independent of corpus size."""
     e = Catalog(spark, sf_dir).embeddings
-    comp = e.select(
-        F.col("vec_id").alias("id"),
-        F.posexplode("embedding").alias("j", "x"),
-    ).select(
-        "id",
-        "j",
-        F.expr(f"CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT)").alias("v"),
+    # r12 scan-count fix: the self-join's two sides plus each
+    # iteration's reuse of cov re-executed the explode scan (8 fact
+    # scans measured). Checkpoint the quantized component table once
+    # (both join sides read it) and the 4096-cell moment matrix (both
+    # mat-vec rounds read it).
+    comp = (
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.posexplode("embedding").alias("j", "x"),
+        )
+        .select(
+            "id",
+            "j",
+            F.expr(
+                f"CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT)"
+            ).alias("v"),
+        )
+        .localCheckpoint()
     )
     a = comp.alias("a")
     b = comp.alias("b")
@@ -344,6 +355,7 @@ def pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.v").cast("decimal(38,0)") * F.col("b.v")
             ).alias("c")
         )
+        .localCheckpoint()
     )
     v1 = cov.groupBy("j").agg(F.sum("c").alias("w")).select(
         F.col("j").alias("k"), "w"

@@ -233,6 +233,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        # r12 scan-count fix: all four HITS iterations plus the two
+        # max probes re-executed the fact join (14 scans measured);
+        # one edge-sized checkpoint makes the whole query one scan
+        .localCheckpoint()
     )
     a1 = pairs.groupBy("dst").agg(
         F.count(F.lit(1)).cast("long").alias("a")

@@ -694,6 +694,9 @@ def association_rules_lift(
     per the documented KS/tau bound family; scale the fold to
     decimal beyond."""
     ev = Catalog(spark, sf_dir).events
+    # r12 scan-count fix: keep/basket/n/isup and both pair-join sides
+    # each re-ran the JSON-extract scan (10 fact scans measured); the
+    # distinct (user, item) table is checkpointed once.
     it = (
         ev.where(F.col("event_type") == "purchase")
         .select(
@@ -703,6 +706,7 @@ def association_rules_lift(
             .alias("item"),
         )
         .distinct()
+        .localCheckpoint()
     )
     keep = (
         it.groupBy("user_id")

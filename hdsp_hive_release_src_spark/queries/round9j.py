@@ -407,8 +407,19 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort); membership checks are broadcast semi-joins of k rows."""
     ev = Catalog(spark, sf_dir).events
 
+    # r12 scan-count fix: the three synopses, the union and both
+    # membership joins re-executed the events scan (8 measured). One
+    # scan builds the distinct (event_type, user) table; everything
+    # derives from the checkpoint.
+    typed = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+
     def ids(pred):
-        return ev.where(pred).select("user_id").distinct()
+        return typed.where(pred).select("user_id").distinct()
 
     def syn(df):
         return (

@@ -99,6 +99,10 @@ def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        # r12 scan-count fix: both degree tables, the eligibility
+        # join and both candidate sides re-executed the fact join
+        # (6 scans measured); one edge-sized checkpoint
+        .localCheckpoint()
     )
     ds = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     dc = pairs.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))

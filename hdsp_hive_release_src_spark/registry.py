@@ -75,6 +75,23 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "kl_divergence_drift",
     "tfidf_top_terms",
     "bm25_ranked_retrieval",
+    # full-registry scan sweep (tools/scan_sweep.py): derived base
+    # tables re-consumed without materialization re-ran the fact scan
+    # 6-94x at runtime (zero exchange reuse) — each now checkpoints
+    # its edge/grid/projection table once (the components.py
+    # discipline); values unchanged, all re-verified at both scales
+    "triangle_clustering_coeff",   # 94 fact scans -> 1
+    "shortest_path_bfs",           # 78 -> 1
+    "pagerank_trade_graph",        # 14 -> 1
+    "hits_hub_authority",          # 14 -> 1
+    "association_rules_lift",      # 10 -> 1
+    "kmv_set_operations",          # 8 -> 1
+    "pca_power_iteration_exact",   # 8 -> 1
+    "ks_two_sample",               # 7 -> 1
+    "conformal_prediction_interval",  # 6 -> 1
+    "funnel_windowed_strict",      # 6 -> 1
+    "degree_assortativity",        # 6 -> 1
+    "ra_link_prediction",          # 6 -> 1
 )
 
 # Empty as of r11: every registered query now has a driver correctness

@@ -152,6 +152,52 @@ EXPECTED_CORPUS = {
 }
 
 
+# Iterative / multi-consumer queries fixed by the r12 full-registry
+# scan sweep (tools/scan_sweep.py): each re-ran its fact scan 6-94x at
+# runtime before its derived base table was checkpointed. Their FINAL
+# plans must now contain ZERO parquet fact scans — everything reads
+# the checkpoint; the one real scan happens at build.
+ITERATIVE_ZERO_SCAN = (
+    "triangle_clustering_coeff",
+    "shortest_path_bfs",
+    "pagerank_trade_graph",
+    "hits_hub_authority",
+    "association_rules_lift",
+    "kmv_set_operations",
+    "pca_power_iteration_exact",
+    "ks_two_sample",
+    "conformal_prediction_interval",
+    "funnel_windowed_strict",
+    "degree_assortativity",
+    "ra_link_prediction",
+)
+
+_FACT_TABLES = ("lineitem", "orders", "events", "documents",
+                "embeddings")
+
+
+@pytest.mark.parametrize("name", sorted(ITERATIVE_ZERO_SCAN))
+def test_iterative_query_reads_its_checkpoint(spark, name):
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
+    leaks = {
+        t: sum(
+            1
+            for ln in plan.splitlines()
+            if "Location" in ln and t in ln
+        )
+        for t in _FACT_TABLES
+    }
+    leaks = {t: c for t, c in leaks.items() if c}
+    assert not leaks, (
+        f"{name}: fact scans crept back above the checkpoint "
+        f"({leaks}) — each loop iteration would re-scan the fact "
+        f"table at 100 TB"
+    )
+
+
 def _corpus_scan_counts(plan: str) -> tuple[int, int]:
     dd = sum(
         1
