@@ -82,13 +82,24 @@ def heavy_hitters(
         F.col(col).alias("__hh_val")
     )
     cand = mg_candidates(vals, "__hh_val", k).distinct()
-    total = vals.agg(F.count(F.lit(1)).alias("_n"))
-    return (
+    # r12 scan-count fix: the denominator used to be its own third
+    # pass over the input (pass-1 summary + candidate recount + N).
+    # The recount is now a broadcast LEFT join — non-candidates fall
+    # into one NULL group — so a single pass yields both the exact
+    # candidate counts and, by summing the ≤ den+2 group rows, the
+    # exact total. The tiny grouped table is checkpointed because it
+    # feeds both the total and the threshold filter.
+    counts = (
         vals.join(
-            F.broadcast(cand), F.col("__hh_val") == F.col("item"), "inner"
+            F.broadcast(cand), F.col("__hh_val") == F.col("item"), "left"
         )
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("n").alias("_n"))
+    return (
+        counts.where(F.col("item").isNotNull())
         .join(F.broadcast(total))
         .where(F.col("n") * den > F.col("_n"))
         .select(

@@ -75,7 +75,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i", "bg"),
     ).select("doc_id", "source", "bg.w1", "bg.w2")
-    ref = bigrams.where(F.col("source") == _REF_SOURCE)
+    # r12 scan-count fix: the three model tables (bigram counts,
+    # unigram counts, vocab size) each re-ran the corpus explode;
+    # checkpoint the shard-sized reference bigrams once — model build
+    # is one scan, scoring the other
+    ref = bigrams.where(
+        F.col("source") == _REF_SOURCE
+    ).localCheckpoint()
     bg = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ug = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = ref.agg(F.count_distinct("w2").alias("vocab"))

@@ -683,7 +683,16 @@ def phrase_mining_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     tok = d.select(F.expr(_TOKS).alias("ws"))
     uni = tok.select(F.explode("ws").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r12 scan-count fix: the totals and the two scoring joins re-ran
+    # the unigram/bigram aggregations from parquet (5 corpus scans
+    # measured); both vocab-sized count tables are checkpointed —
+    # two corpus scans total (one per n-gram order, the documented
+    # "two aggregation passes")
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     utot = ucnt.agg(F.sum("c").alias("un"))
     bi = tok.where(F.size("ws") >= 2).select(
         F.explode(
@@ -694,7 +703,11 @@ def phrase_mining_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    bcnt = bi.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    bcnt = (
+        bi.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .localCheckpoint()
+    )
     btot = bcnt.agg(F.sum("bc").alias("bn"))
     w1 = F.split("b", " ").getItem(0)
     w2 = F.split("b", " ").getItem(1)
@@ -764,7 +777,14 @@ def vocab_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it's map-side combined."""
     d = Catalog(spark, sf_dir).documents
     tok = d.select(F.explode(F.expr(_TOKS)).alias("w"))
-    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r12 scan-count fix: vocab/total/coverage all derive from the
+    # token-count table and each re-ran the corpus explode (3 scans
+    # measured); one vocab-sized checkpoint
+    cnt = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     w_rank = Window.orderBy(F.desc("c"), "w")
     vocab = (
         cnt.withColumn("rnk", F.row_number().over(w_rank))

@@ -231,10 +231,12 @@ def minhash_estimate_accuracy(
     p = pairs.where(jac >= 0.5).select(
         "d1", "d2", F.round(jac, 6).alias("jaccard")
     )
+    # r12 scan-count fix: both pair sides read the signature table —
+    # checkpoint it once (the production persisted-signatures shape)
     sig = d.select(
         "doc_id",
         F.expr(minhash_sql(word_shingles_sql("text"), 64)).alias("sig"),
-    )
+    ).localCheckpoint()
     s1 = sig.select(F.col("doc_id").alias("d1"),
                     F.col("sig").alias("sig1"))
     s2 = sig.select(F.col("doc_id").alias("d2"),

@@ -92,6 +92,12 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "funnel_windowed_strict",      # 6 -> 1
     "degree_assortativity",        # 6 -> 1
     "ra_link_prediction",          # 6 -> 1
+    # documents-table tier of the same sweep
+    "phrase_mining_pmi",           # 5 -> 2
+    "bigram_lm_score",             # 4 -> 2
+    "heavy_hitters_topk",          # 3 -> 2 (total folded into recount)
+    "minhash_estimate_accuracy",   # 3 -> 2
+    "vocab_coverage_audit",        # 3 -> 1
 )
 
 # Empty as of r11: every registered query now has a driver correctness

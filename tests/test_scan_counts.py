@@ -149,6 +149,24 @@ EXPECTED_CORPUS = {
     # assignment + membership materialized to scratch parquet — one
     # real corpus scan at build
     "semantic_dedup": (0, 1),
+    # r12 fixes (see the changed-this-round comment in registry.py):
+    # two-pass MG with the total folded into the checkpointed recount
+    # (0 visible; 2 real scans at build, was 3)
+    "heavy_hitters_topk": (0, 0),
+    # pair scan + the checkpointed signature table build (was 3)
+    "minhash_estimate_accuracy": (1, 0),
+    # checkpointed reference-shard model + the visible scoring scan
+    # (was 4)
+    "bigram_lm_score": (1, 0),
+    # both n-gram count tables checkpointed — 2 real scans at build,
+    # the documented "two aggregation passes" (was 5)
+    "phrase_mining_pmi": (0, 0),
+    # token-count table checkpointed — 1 real scan at build (was 3)
+    "vocab_coverage_audit": (0, 0),
+    # pair-generation scan + two column-pruned (doc_id, source) label
+    # reads — the heavy scan is single; the label reads are two-column
+    # parquet chunks at any scale
+    "cross_source_dedup_matrix": (3, 0),
 }
 
 

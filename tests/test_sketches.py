@@ -83,16 +83,46 @@ def test_no_heavy_hitters_uniform(spark):
 
 def test_heavy_hitters_plan_shape(spark, sf_dir):
     """The scale contract in the plan: candidates reach the corpus
-    via a BROADCAST join (never a vocabulary-wide shuffle join), so
-    the only shuffles are the tiny candidate distinct and the
-    candidate-filtered recount."""
+    via a BROADCAST join (never a vocabulary-wide shuffle join). The
+    r12 operator folds the recount behind a localCheckpoint, so the
+    assert runs on the PRE-checkpoint recount pipeline — the same
+    vals/cand join the operator materializes."""
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.catalog import Catalog
+    from hdsp_hive_release_src_spark.operators.sketches import (
+        mg_candidates,
+    )
+    from hdsp_hive_release_src_spark.queries.llm9 import HH_DEN
+
+    d = Catalog(spark, sf_dir).documents
+    vals = d.select(
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("__hh_val")
+    )
+    cand = mg_candidates(vals, "__hh_val", HH_DEN + 1).distinct()
+    recount = (
+        vals.join(
+            F.broadcast(cand),
+            F.col("__hh_val") == F.col("item"),
+            "left",
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = recount._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # and the full query's final plan reads the checkpoint — zero
+    # parquet re-scans above it (the r12 scan-count contract)
     from hdsp_hive_release_src_spark import registry
 
     registry.load_all()
     df = registry.QUERIES["heavy_hitters_topk"](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in full
+    assert "SortMergeJoin" not in full
 
 
 def test_url_canonical_groups(spark, sf_dir):
