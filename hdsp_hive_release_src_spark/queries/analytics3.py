@@ -281,21 +281,32 @@ def approx_count_distinct_rsd(
     an rsd argument silently ignored) flips the boolean at the tight
     rsd and fails the hash."""
     ev = Catalog(spark, sf_dir).events
-    exact = ev.agg(
-        F.count_distinct("user_id").alias("exact_distinct")
-    )
+    # r12 scan-count fix: the exact count and each precision's sketch
+    # ran as separate aggregations (4 scans measured). One wide
+    # aggregate computes all of them in a single pass; the 1-row
+    # result is checkpointed and reshaped to long.
+    wide = ev.agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        *[
+            F.approx_count_distinct("user_id", float(r)).alias(
+                f"est_{i}"
+            )
+            for i, r in enumerate(_ACD_RSDS)
+        ],
+    ).localCheckpoint()
     ests = [
-        ev.agg(
+        wide.select(
             F.lit(float(r)).alias("rsd"),
-            F.approx_count_distinct("user_id", float(r)).alias("est"),
+            F.col(f"est_{i}").alias("est"),
+            "exact_distinct",
         )
-        for r in _ACD_RSDS
+        for i, r in enumerate(_ACD_RSDS)
     ]
     union = ests[0]
     for e in ests[1:]:
         union = union.unionAll(e)
     return (
-        union.crossJoin(F.broadcast(exact))
+        union
         .select(
             "rsd",
             F.col("exact_distinct").cast("long"),

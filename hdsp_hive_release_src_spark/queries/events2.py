@@ -206,7 +206,10 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_orderkey") % 7).alias("sp_nd"),
         F.min(F.col("o_orderkey") % 7).cast("double").alias("sp_min"),
         F.max(F.col("o_orderkey") % 7).cast("double").alias("sp_max"),
-    )
+        # r12 scan-count fix: the long reshape selects this 1-row
+        # aggregate once per column — checkpoint it so the single-scan
+        # promise in the docstring holds in the executed plan too
+    ).localCheckpoint()
     rows = [
         ("o_custkey", "ck_nn", "ck_nd", "ck_min", "ck_max"),
         ("o_totalprice", "tp_nn", "tp_nd", "tp_min", "tp_max"),

@@ -439,15 +439,21 @@ def bloom_filter_membership(
             ).alias("bit"),
         )
 
-    members = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("_np"))
-        .where(F.col("_np") >= BLOOM_MIN_PURCHASES)
-        .select("user_id")
+    # r12 scan-count fix: members and tested each scanned events, and
+    # each was consumed twice downstream (4 scans measured). One
+    # per-user aggregate serves both; checkpointed (distinct users).
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("_np")
+        )
+        .localCheckpoint()
     )
+    members = per_user.where(
+        F.col("_np") >= BLOOM_MIN_PURCHASES
+    ).select("user_id")
     bits = bit_col(members).select("bit").distinct()
-    tested = ev.select("user_id").distinct()
+    tested = per_user.select("user_id")
     hits = (
         bit_col(tested)
         .join(F.broadcast(bits), "bit")

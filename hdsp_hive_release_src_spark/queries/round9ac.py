@@ -195,9 +195,16 @@ def quantile_treatment_effect(
         ),
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
-    g = s.groupBy("t").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sort_array(F.collect_list("c")).alias("vs"),
+    # r12 scan-count fix: each quantile's select re-ran the sample
+    # collect from parquet (3 scans measured); the 2-row arm table is
+    # checkpointed once
+    g = (
+        s.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sort_array(F.collect_list("c")).alias("vs"),
+        )
+        .localCheckpoint()
     )
     rows = []
     for tau in QTE_TAUS:

@@ -126,8 +126,13 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup — days², not rows², so a 100 TB corpus still joins ~2.4k
     × 2.4k rows."""
     o = Catalog(spark, sf_dir).orders
-    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum(F.expr(_CENTS)).cast("long").alias("x")
+    # r12 scan-count fix: both pair-join sides, the day count and the
+    # tie term each re-ran the daily rollup from parquet (4 scans
+    # measured); the days-sized rollup is checkpointed once
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("x"))
+        .localCheckpoint()
     )
     a = daily.alias("a")
     b = daily.alias("b")

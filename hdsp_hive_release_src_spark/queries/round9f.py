@@ -216,10 +216,18 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     from pyspark.sql.window import Window
 
-    daily = o.groupBy(
-        F.to_date("o_orderdate").alias("d"),
-        F.dayofweek("o_orderdate").alias("dow"),
-    ).agg(F.sum(F.expr(_CENTS)).cast("long").alias("c"))
+    # r12 scan-count fix: the row-number sequence, both band-join
+    # sides and the day count each re-ran the daily rollup from
+    # parquet (4 scans measured); the days-sized rollup is
+    # checkpointed once
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     seq = daily.select(
         "d",
         "dow",

@@ -159,8 +159,13 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the integer idiom ETL uses for invoice/prorate splits.
     All quotas and remainders exact int64."""
     o = Catalog(spark, sf_dir).orders
-    g = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
-        F.sum(F.expr(_CENTS)).cast("long").alias("cents")
+    # r12 scan-count fix: the total, leftover and ranked branches each
+    # re-ran the priority rollup from parquet (4 scans measured); the
+    # 5-row group table is checkpointed once
+    g = (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
+        .localCheckpoint()
     )
     tot = g.agg(F.sum("cents").cast("long").alias("t"))
     quota = g.crossJoin(B(tot)).select(

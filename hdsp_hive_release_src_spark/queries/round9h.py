@@ -413,15 +413,22 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     integerization reuses the largest-remainder rule, so the sizes
     sum exactly to the budget of 1000."""
     o = Catalog(spark, sf_dir).orders
-    s = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.expr(_CENTS)).cast("long").alias("sm"),
-        F.sum(
-            (
-                F.expr(_CENTS).cast("decimal(38,0)")
-                * F.expr(_CENTS)
-            )
-        ).alias("sq"),
+    # r12 scan-count fix: the weight total, quota, leftover and rank
+    # branches each re-ran the stratum rollup from parquet (4 scans
+    # measured); the 5-row stratum table is checkpointed once
+    s = (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sm"),
+            F.sum(
+                (
+                    F.expr(_CENTS).cast("decimal(38,0)")
+                    * F.expr(_CENTS)
+                )
+            ).alias("sq"),
+        )
+        .localCheckpoint()
     )
     w = s.select(
         "pri",

@@ -168,8 +168,13 @@ def kendall_tau_b_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
         F.month("o_orderdate").alias("y"),
     )
-    g = s.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # r12 scan-count fix: both grid sides, the total and the two tie
+    # terms each re-ran the contingency aggregation from parquet (5
+    # scans measured); the 60-cell grid is checkpointed once
+    g = (
+        s.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
     )
     a = g.alias("a")
     b = g.alias("b")
@@ -469,10 +474,17 @@ def cosupply_bipartite_projection(
     key — at cluster scale both sides shuffle once on part and the
     pair space never materializes beyond capped-degree blocks."""
     li = Catalog(spark, sf_dir).lineitem
-    e = li.select(
-        F.col("l_partkey").alias("part"),
-        F.col("l_suppkey").alias("sup"),
-    ).distinct()
+    # r12 scan-count fix: the degree filter and both self-join sides
+    # re-ran the distinct from parquet (4 scans measured); checkpoint
+    # the bipartite edge list once
+    e = (
+        li.select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").alias("sup"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     deg = (
         e.groupBy("part")
         .agg(F.count(F.lit(1)).alias("d"))

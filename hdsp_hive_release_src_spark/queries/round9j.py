@@ -170,8 +170,18 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     first = ue.groupBy("user_id").agg(F.min("ew").alias("cw"))
-    rev = ue.join(first, "user_id").select(
-        "cw", (F.col("ew") - F.col("cw")).alias("off"), "cents", "user_id"
+    # r12 scan-count fix: cohort sizes and the revenue matrix each
+    # re-ran the events scan + first-week join (4 scans measured);
+    # the narrow (cw, off, cents, user) table is checkpointed once
+    rev = (
+        ue.join(first, "user_id")
+        .select(
+            "cw",
+            (F.col("ew") - F.col("cw")).alias("off"),
+            "cents",
+            "user_id",
+        )
+        .localCheckpoint()
     )
     cs = (
         rev.where(F.col("off") == 0)

@@ -297,6 +297,9 @@ def markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     wa = Window.partitionBy("a")
+    # r12 scan-count fix: both matrix-multiply sides and the one-step
+    # lookup re-ran the sessionization window from parquet (3 scans
+    # measured); the ~25-cell one-step matrix is checkpointed once
     p1 = (
         trans.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -306,6 +309,7 @@ def markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n * 1000 div sum(n) over (partition by a)"
                    " as bigint)").alias("p_permille"),
         )
+        .localCheckpoint()
     )
     x = p1.select(
         F.col("a"), F.col("b").alias("mid"), F.col("p_permille").alias("px")

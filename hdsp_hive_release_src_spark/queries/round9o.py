@@ -95,29 +95,36 @@ def table_diff_reconcile(
     join's own exchange; at cluster scale bucket both versions on
     the key and the exchange disappears."""
     o = Catalog(spark, sf_dir).orders
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    v1 = o.select(
-        F.col("o_orderkey").alias("k"),
-        cents.alias("c1"),
-        F.col("o_orderstatus").alias("s1"),
+    # r12 scan-count fix: v1 and v2's two branches each scanned
+    # orders (3 scans measured); the narrow (key, cents, status)
+    # projection is checkpointed once and all three derive from it
+    base = o.select(
+        F.col("o_orderkey").alias("bk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bc"),
+        F.col("o_orderstatus").alias("bs"),
+    ).localCheckpoint()
+    v1 = base.select(
+        F.col("bk").alias("k"),
+        F.col("bc").alias("c1"),
+        F.col("bs").alias("s1"),
     )
     v2 = (
-        o.where(F.col("o_orderkey") % DIFF_DROP_MOD != 0)
+        base.where(F.col("bk") % DIFF_DROP_MOD != 0)
         .select(
-            F.col("o_orderkey").alias("k"),
+            F.col("bk").alias("k"),
             (
-                cents
+                F.col("bc")
                 + F.when(
-                    F.col("o_orderkey") % DIFF_CHG_MOD == 0, 100
+                    F.col("bk") % DIFF_CHG_MOD == 0, 100
                 ).otherwise(0)
             ).alias("c2"),
-            F.col("o_orderstatus").alias("s2"),
+            F.col("bs").alias("s2"),
         )
         .unionByName(
-            o.where(F.col("o_orderkey") % DIFF_ADD_MOD == 0).select(
-                (F.col("o_orderkey") + DIFF_KEY_SHIFT).alias("k"),
-                cents.alias("c2"),
-                F.col("o_orderstatus").alias("s2"),
+            base.where(F.col("bk") % DIFF_ADD_MOD == 0).select(
+                (F.col("bk") + DIFF_KEY_SHIFT).alias("k"),
+                F.col("bc").alias("c2"),
+                F.col("bs").alias("s2"),
             )
         )
     )
@@ -410,6 +417,11 @@ def share_of_parent_rollup(
             .cast("long")
             .alias("rev_cents")
         )
+        # r12 scan-count fix: the region totals, grand total and the
+        # child-share join each re-ran the fact aggregation from
+        # parquet (4 scans measured); the (region, nation) grain is
+        # checkpointed once
+        .localCheckpoint()
     )
     reg = rev.groupBy("region").agg(
         F.sum("rev_cents").cast("long").alias("reg_cents")

@@ -204,10 +204,17 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-sized and broadcast back, so the fact table is scanned
     once regardless of table size."""
     ev = Catalog(spark, sf_dir).events
-    obs = ev.groupBy(
-        F.col("event_type").alias("r"),
-        (F.col("user_id") % 4).alias("c"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # r12 scan-count fix: the marginals and total each re-ran the
+    # contingency aggregation from parquet (4 scans measured); the
+    # cell table is rows x cols values — checkpoint it once
+    obs = (
+        ev.groupBy(
+            F.col("event_type").alias("r"),
+            (F.col("user_id") % 4).alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
     rt = obs.groupBy("r").agg(F.sum("o").alias("rn"))
     ct = obs.groupBy("c").agg(F.sum("o").alias("cn"))
     n = obs.agg(F.sum("o").alias("total"))
@@ -322,11 +329,23 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-group sorts), each group's median broadcast back; the
     3×1.4826 factor scales MAD to σ-equivalents under normality."""
     ev = Catalog(spark, sf_dir).events
-    med = ev.groupBy("event_type").agg(
-        F.median("value").alias("med")
+    # r12 scan-count fix: the MAD pass and the final fence count each
+    # re-ran the median pass + join from parquet (4 scans measured);
+    # checkpoint the group medians and the deviation table so the
+    # query costs exactly its two documented median passes
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint()
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        .localCheckpoint()
     )
     mad = dev.groupBy("event_type").agg(
         F.median("adev").alias("mad")

@@ -98,6 +98,26 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "heavy_hitters_topk",          # 3 -> 2 (total folded into recount)
     "minhash_estimate_accuracy",   # 3 -> 2
     "vocab_coverage_audit",        # 3 -> 1
+    # orders/events 3-5-scan tier — the sweep's final wave; the whole
+    # rescan defect class is now fixed (tools/SCAN_SWEEP_r12.json)
+    "kendall_tau_b_grid",          # 5 -> 1
+    "approx_count_distinct_rsd",   # 4 -> 1 (one wide sketch agg)
+    "bloom_filter_membership",     # 4 -> 1 (one per-user agg)
+    "chi_square_independence",     # 4 -> 1
+    "cohort_ltv_matrix",           # 4 -> 1
+    "cosupply_bipartite_projection",  # 4 -> 1
+    "cramers_v_effect",            # 4 -> 1
+    "largest_remainder_allocation",   # 4 -> 1
+    "mad_outliers",                # 4 -> 2 (its two median passes)
+    "mann_kendall_trend",          # 4 -> 1
+    "neyman_allocation_sampling",  # 4 -> 1
+    "seasonal_decompose_additive", # 4 -> 1
+    "share_of_parent_rollup",      # 4 -> 1
+    "column_profile",              # 3 -> 1
+    "gapfill_daily",               # 3 -> 1
+    "markov_two_step",             # 3 -> 1
+    "quantile_treatment_effect",   # 3 -> 1
+    "table_diff_reconcile",        # 3 -> 1
 )
 
 # Empty as of r11: every registered query now has a driver correctness

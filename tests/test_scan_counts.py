@@ -188,6 +188,25 @@ ITERATIVE_ZERO_SCAN = (
     "funnel_windowed_strict",
     "degree_assortativity",
     "ra_link_prediction",
+    # second wave: the 3-5 scan orders/events tier, same fix
+    "approx_count_distinct_rsd",
+    "bloom_filter_membership",
+    "chi_square_independence",
+    "cohort_ltv_matrix",
+    "column_profile",
+    "cosupply_bipartite_projection",
+    "cramers_v_effect",
+    "gapfill_daily",
+    "kendall_tau_b_grid",
+    "largest_remainder_allocation",
+    "mad_outliers",
+    "mann_kendall_trend",
+    "markov_two_step",
+    "neyman_allocation_sampling",
+    "quantile_treatment_effect",
+    "seasonal_decompose_additive",
+    "share_of_parent_rollup",
+    "table_diff_reconcile",
 )
 
 _FACT_TABLES = ("lineitem", "orders", "events", "documents",
