@@ -4,3 +4,7 @@ from hdsp_hive_release_src_spark.plans.asserts import (  # noqa: F401
     has_cartesian,
     pushed_filters,
 )
+from hdsp_hive_release_src_spark.plans.runtime import (  # noqa: F401
+    executed_scans,
+    snapshot_executions,
+)

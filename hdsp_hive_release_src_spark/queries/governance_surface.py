@@ -10,6 +10,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.materialize import (
+    persist_fact_rows,
+)
 from hdsp_hive_release_src_spark.registry import query
 
 # percentile_approx accuracy parameter and the rank-error bound it
@@ -585,14 +588,14 @@ def funnel_windowed_strict(
     # r12 scan-count fix: each stage plus each final count re-ran the
     # events scan (6 measured). One scan materializes the three event
     # types; the per-user stage anchors v and c are checkpointed too
-    # (user-sized) because each is consumed by both the next stage
-    # and its funnel count.
-    base = (
+    # (user-sized, reduced) because each is consumed by both the next
+    # stage and its funnel count. base is events-ROW-sized, so
+    # DISK_ONLY persist, never localCheckpoint (materialize.py: fact
+    # rows on non-reliable local storage die with their executor).
+    base = persist_fact_rows(
         ev.where(
             F.col("event_type").isin("view", "click", "purchase")
-        )
-        .select("event_type", "user_id", "ts")
-        .localCheckpoint()
+        ).select("event_type", "user_id", "ts")
     )
     v = (
         base.where(F.col("event_type") == "view")

@@ -158,7 +158,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT vectors only, pairs expand back through membership at
     # the end. Grouping is on the raw double array — exact binary
     # equality, no string formatting to diverge between engines.
+    # r13 runtime-scan fix: grp feeds FOUR downstream subtrees
+    # (members, n, cent, assigned) and Catalyst replans each from the
+    # corpus scan (4 executed embeddings scans measured); writing the
+    # distinct-vector table once drops that to 2 — the grp build and
+    # the members raw-id join, the two reads that genuinely need the
+    # corpus. The group table is also the exact-dedup artifact a
+    # production pipeline keeps.
     grp = e.groupBy("v").agg(F.min("vec_id").alias("rep"))
+    gpath = scratch_path("semantic_groups", sf_dir)
+    shutil.rmtree(gpath, ignore_errors=True)
+    grp.write.parquet(gpath)
+    spark.catalog.refreshByPath(gpath)
+    grp = spark.read.parquet(gpath)
     members = e.join(grp, "v").select("rep", "vec_id")
     n = grp.select(
         F.col("rep").alias("vec_id"),
@@ -402,7 +414,15 @@ def ann_product_quantization(
             s += dlt * dlt
         return round(s, 9)
 
-    branches = []
+    # r13 runtime-scan fix: a union of per-query branches made
+    # Catalyst re-run the encode scan once per query (3 executed
+    # embeddings scans in the scoring job alone; 5 total with the two
+    # setup collects). All queries' ADC sums are literal lookup
+    # tables over the SAME code columns, so one pass computes every
+    # (query, neighbor) distance: build a struct per query, explode —
+    # the scoring job now scans the corpus exactly once however many
+    # queries ride it.
+    per_query = []
     for qid, qv in sorted(qrows.items()):
         dist = None
         for m in range(_PQ_M):
@@ -411,16 +431,23 @@ def ann_product_quantization(
             )
             term = F.element_at(tab, F.col(f"c{m}") + 1)
             dist = term if dist is None else dist + term
-        branches.append(
-            codes.where(F.col("vec_id") != qid).select(
+        per_query.append(
+            F.struct(
                 F.lit(qid).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
                 F.round(dist, 6).alias("approx_d2"),
             )
         )
-    scored = branches[0]
-    for b in branches[1:]:
-        scored = scored.unionByName(b)
+    scored = (
+        codes.select(
+            "vec_id", F.explode(F.array(*per_query)).alias("q")
+        )
+        .where(F.col("vec_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q.approx_d2").alias("approx_d2"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         "approx_d2", "neighbor_id"
     )

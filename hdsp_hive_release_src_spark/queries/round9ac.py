@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.materialize import (
+    persist_fact_rows,
+)
 from hdsp_hive_release_src_spark.queries.llm10 import CMS_P
 from hdsp_hive_release_src_spark.queries.round9k import ATE_A, ATE_B
 from hdsp_hive_release_src_spark.registry import query
@@ -83,12 +86,18 @@ def conformal_prediction_interval(
     o = Catalog(spark, sf_dir).orders
     # r12 scan-count fix: the model, calibration, q-hat probe and
     # test branches each re-scanned orders (6 measured); the narrow
-    # (arm, priority, cents) projection is checkpointed once.
-    s = o.select(
-        (F.col("o_orderkey") % 2).alias("arm"),
-        F.col("o_orderpriority").alias("p"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    ).localCheckpoint()
+    # (arm, priority, cents) projection is materialized once —
+    # DISK_ONLY persist, not localCheckpoint, because it is
+    # orders-ROW-sized (materialize.py discipline)
+    s = persist_fact_rows(
+        o.select(
+            (F.col("o_orderkey") % 2).alias("arm"),
+            F.col("o_orderpriority").alias("p"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+    )
     model = (
         s.where(F.col("arm") == 0)
         .groupBy("p")

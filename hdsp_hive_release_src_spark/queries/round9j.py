@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.materialize import (
+    persist_fact_rows,
+)
 from hdsp_hive_release_src_spark.queries.llm10 import CMS_P
 from hdsp_hive_release_src_spark.registry import query
 
@@ -169,19 +172,22 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ew"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    first = ue.groupBy("user_id").agg(F.min("ew").alias("cw"))
     # r12 scan-count fix: cohort sizes and the revenue matrix each
-    # re-ran the events scan + first-week join (4 scans measured);
-    # the narrow (cw, off, cents, user) table is checkpointed once
-    rev = (
-        ue.join(first, "user_id")
-        .select(
-            "cw",
-            (F.col("ew") - F.col("cw")).alias("off"),
+    # re-ran the events scan + first-week join (4 scans measured).
+    # r13 re-plan: the first-activity week is a per-user window MIN
+    # over the same rows — one scan and one user_id shuffle replace
+    # the groupBy + self-join (identical integers: min over the same
+    # partition). The narrow (cw, off, cents, user) table is
+    # events-ROW-sized, so DISK_ONLY persist, never localCheckpoint
+    # (materialize.py discipline).
+    wu = Window.partitionBy("user_id")
+    rev = persist_fact_rows(
+        ue.select(
+            F.min("ew").over(wu).alias("cw"),
+            (F.col("ew") - F.min("ew").over(wu)).alias("off"),
             "cents",
             "user_id",
         )
-        .localCheckpoint()
     )
     cs = (
         rev.where(F.col("off") == 0)

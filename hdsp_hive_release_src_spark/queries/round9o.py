@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.materialize import (
+    persist_fact_rows,
+)
 from hdsp_hive_release_src_spark.registry import query
 
 B = F.broadcast
@@ -97,12 +100,18 @@ def table_diff_reconcile(
     o = Catalog(spark, sf_dir).orders
     # r12 scan-count fix: v1 and v2's two branches each scanned
     # orders (3 scans measured); the narrow (key, cents, status)
-    # projection is checkpointed once and all three derive from it
-    base = o.select(
-        F.col("o_orderkey").alias("bk"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("bc"),
-        F.col("o_orderstatus").alias("bs"),
-    ).localCheckpoint()
+    # projection is materialized once and all three derive from it —
+    # DISK_ONLY persist, not localCheckpoint, because it is
+    # orders-ROW-sized (materialize.py discipline)
+    base = persist_fact_rows(
+        o.select(
+            F.col("o_orderkey").alias("bk"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("bc"),
+            F.col("o_orderstatus").alias("bs"),
+        )
+    )
     v1 = base.select(
         F.col("bk").alias("k"),
         F.col("bc").alias("c1"),

@@ -10,6 +10,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.materialize import (
+    persist_fact_rows,
+)
 from hdsp_hive_release_src_spark.registry import query
 
 
@@ -331,21 +334,24 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     # r12 scan-count fix: the MAD pass and the final fence count each
     # re-ran the median pass + join from parquet (4 scans measured);
-    # checkpoint the group medians and the deviation table so the
-    # query costs exactly its two documented median passes
+    # materializing the group medians and the deviation table caps the
+    # query at its two documented median passes. The medians are
+    # reduced (one row per event type) -> localCheckpoint; dev is
+    # events-ROW-sized, so DISK_ONLY persist, never localCheckpoint —
+    # fact-row data on non-reliable local storage dies with its
+    # executor (operators/materialize.py).
     med = (
         ev.groupBy("event_type")
         .agg(F.median("value").alias("med"))
         .localCheckpoint()
     )
-    dev = (
+    dev = persist_fact_rows(
         ev.join(F.broadcast(med), "event_type")
         .select(
             "event_type",
             "med",
             F.abs(F.col("value") - F.col("med")).alias("adev"),
         )
-        .localCheckpoint()
     )
     mad = dev.groupBy("event_type").agg(
         F.median("adev").alias("mad")

@@ -288,9 +288,20 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold and the output. Spark has no plan-level sharing for the
     two consumers (exchange reuse does not fire across the scalar-agg
     branch — measured), so the parts-sized aggregate is eagerly
-    localCheckpoint-ed and the threshold collected as a 1-row scalar.
-    At 100 TB this trades the second full lineitem scan (~100 TB of
-    IO) for a parts-sized (~SF x 200k rows) local materialization."""
+    localCheckpoint-ed (a REDUCED table — operators/materialize.py
+    discipline). At 100 TB this trades the second full lineitem scan
+    (~100 TB of IO) for a parts-sized (~SF x 200k rows) local
+    materialization.
+
+    r13 advice fix: the threshold is a 1-row broadcast joined back to
+    the same checkpoint — no driver collect, the comparison never
+    leaves the engine. FP boundary note: the global total is the sum
+    of per-part DOUBLE sums, while the oracle sums all products in
+    one pass; a part whose value lands exactly ON the 0.06% boundary
+    could differ in the last ulp between the two summation orders.
+    The strict > against a measure-zero boundary makes this benign at
+    every tested scale; at new scales re-gate before trusting the
+    boundary row."""
     li = Catalog(spark, sf_dir).lineitem
     val = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = (
@@ -298,9 +309,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(val).alias("v"))
         .localCheckpoint()
     )
-    threshold = per_part.agg(F.sum("v") * 0.0006).first()[0]
+    threshold = per_part.agg(
+        (F.sum("v") * 0.0006).alias("threshold")
+    )
     return (
-        per_part.where(F.col("v") > F.lit(threshold))
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("v") > F.col("threshold"))
         .select("l_partkey", F.round("v", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )

@@ -58,66 +58,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 12: the scan-count audit (tests/test_scan_counts.py) re-planned
-# q11 (threshold now derived from the checkpointed per-part aggregate —
-# one lineitem scan instead of two) and q21 (single lineitem+orders
-# join with a two-level pair aggregate replacing the separate
-# multi-supplier and late-pair scans). Re-certify both first; the rest
-# of the window recycles the r1/r2 certification tail.
+# round 13 (advice items + the new RUNTIME executed-scan audit,
+# tests/test_scan_counts.py::RUNTIME_SCANS):
+# - q11: the global threshold is now a 1-row broadcast joined back to
+#   the checkpointed per-part aggregate — no driver collect, the
+#   comparison never leaves the engine.
+# - five fact-ROW-sized intermediates moved from localCheckpoint to
+#   persist(DISK_ONLY) (operators/materialize.py: fact rows on
+#   non-reliable local storage die with their executor; persist keeps
+#   lineage). cohort_ltv also re-planned: window-MIN first-week
+#   replaces the groupBy+self-join (2 scans -> 1).
+# - semantic_dedup: the distinct-vector group table is materialized
+#   once (4 executed corpus scans -> 2); ann_product_quantization:
+#   one exploded multi-query scoring pass over the codes table
+#   (5 executed -> 3). Values identical everywhere; all eight
+#   re-verified at both scales.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q11_important_parts",
-    "q21_sole_late_supplier",
-    # corpus-table scan audit re-plans (documents scanned 5/4/3/3/2
-    # times → 2/1/1/2/1; see tests/test_scan_counts.py
-    # EXPECTED_CORPUS)
-    "dsir_importance_weights",
-    "jensen_shannon_drift",
-    "kl_divergence_drift",
-    "tfidf_top_terms",
-    "bm25_ranked_retrieval",
-    # full-registry scan sweep (tools/scan_sweep.py): derived base
-    # tables re-consumed without materialization re-ran the fact scan
-    # 6-94x at runtime (zero exchange reuse) — each now checkpoints
-    # its edge/grid/projection table once (the components.py
-    # discipline); values unchanged, all re-verified at both scales
-    "triangle_clustering_coeff",   # 94 fact scans -> 1
-    "shortest_path_bfs",           # 78 -> 1
-    "pagerank_trade_graph",        # 14 -> 1
-    "hits_hub_authority",          # 14 -> 1
-    "association_rules_lift",      # 10 -> 1
-    "kmv_set_operations",          # 8 -> 1
-    "pca_power_iteration_exact",   # 8 -> 1
-    "ks_two_sample",               # 7 -> 1
-    "conformal_prediction_interval",  # 6 -> 1
-    "funnel_windowed_strict",      # 6 -> 1
-    "degree_assortativity",        # 6 -> 1
-    "ra_link_prediction",          # 6 -> 1
-    # documents-table tier of the same sweep
-    "phrase_mining_pmi",           # 5 -> 2
-    "bigram_lm_score",             # 4 -> 2
-    "heavy_hitters_topk",          # 3 -> 2 (total folded into recount)
-    "minhash_estimate_accuracy",   # 3 -> 2
-    "vocab_coverage_audit",        # 3 -> 1
-    # orders/events 3-5-scan tier — the sweep's final wave; the whole
-    # rescan defect class is now fixed (tools/SCAN_SWEEP_r12.json)
-    "kendall_tau_b_grid",          # 5 -> 1
-    "approx_count_distinct_rsd",   # 4 -> 1 (one wide sketch agg)
-    "bloom_filter_membership",     # 4 -> 1 (one per-user agg)
-    "chi_square_independence",     # 4 -> 1
-    "cohort_ltv_matrix",           # 4 -> 1
-    "cosupply_bipartite_projection",  # 4 -> 1
-    "cramers_v_effect",            # 4 -> 1
-    "largest_remainder_allocation",   # 4 -> 1
-    "mad_outliers",                # 4 -> 2 (its two median passes)
-    "mann_kendall_trend",          # 4 -> 1
-    "neyman_allocation_sampling",  # 4 -> 1
-    "seasonal_decompose_additive", # 4 -> 1
-    "share_of_parent_rollup",      # 4 -> 1
-    "column_profile",              # 3 -> 1
-    "gapfill_daily",               # 3 -> 1
-    "markov_two_step",             # 3 -> 1
-    "quantile_treatment_effect",   # 3 -> 1
-    "table_diff_reconcile",        # 3 -> 1
+    "mad_outliers",
+    "funnel_windowed_strict",
+    "table_diff_reconcile",
+    "conformal_prediction_interval",
+    "cohort_ltv_matrix",
+    "semantic_dedup",
+    "ann_product_quantization",
 )
 
 # Empty as of r11: every registered query now has a driver correctness

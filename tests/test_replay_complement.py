@@ -50,14 +50,38 @@ def test_complement_is_exhaustive_and_current():
     )
 
 
+def _executes_query(text: str, name: str) -> bool:
+    """True iff the file contains an EXECUTION-anchored reference to
+    the query — not a mere substring (r13 advice: a test NAMED
+    test_funnel_counts_* that replays a different query satisfied the
+    old check). Accepted anchors: a direct registry index
+    QUERIES["name"], a direct call name(spark…) of the imported query
+    function, or the quoted name in a collection driven through a
+    QUERIES[...] loop in the same file."""
+    import re
+
+    esc = re.escape(name)
+    if re.search(rf'QUERIES\[\s*["\']{esc}["\']\s*\]', text):
+        return True
+    if re.search(rf"\b{esc}\(", text):
+        return True
+    return bool(
+        re.search(rf'["\']{esc}["\']', text)
+        and re.search(r"QUERIES\[", text)
+    )
+
+
 def test_every_entry_is_well_formed():
     entries = _committed()["entries"]
     for name, e in entries.items():
         if e["status"] == "replayed-elsewhere":
             where = REPO / e["where"]
             assert where.exists(), f"{name}: {e['where']} missing"
-            assert name in where.read_text(), (
-                f"{name}: not referenced by {e['where']}"
+            assert _executes_query(where.read_text(), name), (
+                f"{name}: {e['where']} does not EXECUTE the query "
+                f"(no QUERIES[...] index, direct call, or quoted "
+                f"name in a QUERIES loop) — a name substring is not "
+                f"an independent-model test"
             )
         else:
             assert e["status"] == "exempt", name

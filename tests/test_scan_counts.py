@@ -34,10 +34,12 @@ EXPECTED = {
     "q8_market_share": (1, 1),
     "q9_product_profit": (1, 0),
     "q10_returned_items": (1, 1),
-    # r12 re-plan: per-part aggregate is localCheckpoint-ed and the
-    # global threshold collected from it, so the FINAL plan reads the
+    # r12/r13 re-plan: per-part aggregate is localCheckpoint-ed and
+    # the global threshold is a 1-row broadcast from the same
+    # checkpoint (no driver collect), so the FINAL plan reads the
     # checkpoint — zero parquet scans; the one real lineitem scan
     # happens when the query function materializes the checkpoint
+    # (pinned at 1 in RUNTIME_SCANS below)
     "q11_important_parts": (0, 0),
     "q12_priority_shipping": (1, 1),
     "q13_customer_distribution": (0, 1),
@@ -145,10 +147,15 @@ EXPECTED_CORPUS = {
     # stores codebook and assignment (semantic_dedup demonstrates the
     # materialized form of exactly this pipeline)
     "ann_ivf_topk": (0, 4),
-    "ann_product_quantization": (0, 3),
-    # assignment + membership materialized to scratch parquet — one
-    # real corpus scan at build
-    "semantic_dedup": (0, 1),
+    # r13 re-plan: one exploded multi-query pass over the encoded
+    # codes table (was a per-query branch union — 3 visible / 5
+    # executed); the remaining visible scan is the encode pass, plus
+    # two driver-side setup reads at build (see RUNTIME_SCANS)
+    "ann_product_quantization": (0, 1),
+    # r13 re-plan: group/assignment/membership all materialized to
+    # scratch parquet — the corpus scans (group build + member join)
+    # run at build; the final plan reads only scratch tables
+    "semantic_dedup": (0, 0),
     # r12 fixes (see the changed-this-round comment in registry.py):
     # two-pass MG with the total folded into the checkpointed recount
     # (0 visible; 2 real scans at build, was 3)
@@ -184,30 +191,66 @@ ITERATIVE_ZERO_SCAN = (
     "kmv_set_operations",
     "pca_power_iteration_exact",
     "ks_two_sample",
-    "conformal_prediction_interval",
-    "funnel_windowed_strict",
     "degree_assortativity",
     "ra_link_prediction",
     # second wave: the 3-5 scan orders/events tier, same fix
     "approx_count_distinct_rsd",
     "bloom_filter_membership",
     "chi_square_independence",
-    "cohort_ltv_matrix",
     "column_profile",
     "cosupply_bipartite_projection",
     "cramers_v_effect",
     "gapfill_daily",
     "kendall_tau_b_grid",
     "largest_remainder_allocation",
-    "mad_outliers",
     "mann_kendall_trend",
     "markov_two_step",
     "neyman_allocation_sampling",
     "quantile_treatment_effect",
     "seasonal_decompose_additive",
     "share_of_parent_rollup",
-    "table_diff_reconcile",
 )
+
+
+# r13 advice fix: these five materialize a FACT-ROW-SIZED narrow
+# projection for multiple consumers. localCheckpoint was the r12
+# shape; it put fact-row data on non-reliable executor-local storage
+# with lineage severed (lost block = dead query under executor loss /
+# dynamic allocation), so they now persist(DISK_ONLY) instead
+# (operators/materialize.py). persist keeps lineage, so the FINAL
+# plan legitimately shows the ONE cache-build parquet scan — pinned
+# here as (table, visible scans); the executed totals are pinned in
+# RUNTIME_SCANS below.
+PERSISTED_FACT_ROWS = {
+    "conformal_prediction_interval": ("orders", 1),
+    "funnel_windowed_strict": ("events", 1),
+    "mad_outliers": ("events", 1),
+    "table_diff_reconcile": ("orders", 1),
+    "cohort_ltv_matrix": ("events", 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PERSISTED_FACT_ROWS))
+def test_persisted_fact_plan_shows_single_build_scan(spark, name):
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    table, expected = PERSISTED_FACT_ROWS[name]
+    spark.catalog.clearCache()
+    try:
+        plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
+    finally:
+        spark.catalog.clearCache()
+    got = sum(
+        1
+        for ln in plan.splitlines()
+        if "Location" in ln and table in ln
+    )
+    assert got == expected, (
+        f"{name}: visible {table} scans {got} != {expected} — the "
+        f"DISK_ONLY-persisted projection should appear exactly once "
+        f"(its cache-build plan)"
+    )
 
 _FACT_TABLES = ("lineitem", "orders", "events", "documents",
                 "embeddings")
@@ -270,3 +313,137 @@ def test_every_tpch_query_is_pinned():
     registry.load_all()
     tpch = {n for n in registry.QUERIES if re.match(r"q\d+_", n)}
     assert tpch == set(EXPECTED)
+
+
+# ---------------------------------------------------------------
+# Runtime (EXECUTED) scan pins — r13 advice item: the plan pins
+# above count Location leaves in the final plan, which is blind to
+# (a) scans that run at build time behind an eager localCheckpoint
+# (the q11 / iterative-family (0,0) pins assert nothing about real
+# IO) and (b) cached-plan scan nodes that never execute. These pins
+# count scans that actually RAN — plans/runtime.py counts scan
+# nodes with recorded metric values across every SQL execution the
+# query triggered, build-time checkpoint/broadcast/cache jobs
+# included. This is the IO-truth contract: at 100 TB each unit here
+# is a full pass over the table.
+#
+# name -> {table: executed scans for build + one full run}.
+RUNTIME_SCANS = {
+    # one real lineitem pass builds the checkpointed per-part
+    # aggregate; the threshold is a 1-row broadcast from the same
+    # checkpoint (r13: no driver collect)
+    "q11_important_parts": {"lineitem": 1},
+    # scalar-max-of-view / correlated-avg shapes: second pass pinned
+    # with reason in EXPECTED above
+    "q15_top_supplier": {"lineitem": 2},
+    "q17_small_quantity_revenue": {"lineitem": 2},
+    "q21_sole_late_supplier": {"lineitem": 1, "orders": 1},
+    # iterative family: ONE pass builds the checkpointed edge/grid/
+    # moment table; every loop round reads the checkpoint
+    "triangle_clustering_coeff": {"lineitem": 1, "orders": 1},
+    "shortest_path_bfs": {"lineitem": 1, "orders": 1},
+    "pagerank_trade_graph": {"lineitem": 1, "orders": 1},
+    "hits_hub_authority": {"lineitem": 1, "orders": 1},
+    "degree_assortativity": {"lineitem": 1, "orders": 1},
+    "ra_link_prediction": {"lineitem": 1, "orders": 1},
+    "association_rules_lift": {"events": 1},
+    "kmv_set_operations": {"events": 1},
+    "pca_power_iteration_exact": {"embeddings": 1},
+    "ks_two_sample": {"orders": 1},
+    # one-scan orders/events tier (r12 sweep wave 2)
+    "approx_count_distinct_rsd": {"events": 1},
+    "bloom_filter_membership": {"events": 1},
+    "chi_square_independence": {"events": 1},
+    "column_profile": {"orders": 1},
+    "cosupply_bipartite_projection": {"lineitem": 1},
+    "cramers_v_effect": {"orders": 1},
+    "gapfill_daily": {"events": 1},
+    "kendall_tau_b_grid": {"orders": 1},
+    "largest_remainder_allocation": {"orders": 1},
+    "mann_kendall_trend": {"orders": 1},
+    "markov_two_step": {"events": 1},
+    "neyman_allocation_sampling": {"orders": 1},
+    "quantile_treatment_effect": {"events": 1},
+    "seasonal_decompose_additive": {"orders": 1},
+    "share_of_parent_rollup": {"orders": 1},
+    # DISK_ONLY-persisted fact projections (PERSISTED_FACT_ROWS):
+    # one cache-build pass each; mad_outliers' second pass is the
+    # documented second median pass (group medians before deviations)
+    "conformal_prediction_interval": {"orders": 1},
+    "funnel_windowed_strict": {"events": 1},
+    "table_diff_reconcile": {"orders": 1},
+    "cohort_ltv_matrix": {"events": 1},
+    "mad_outliers": {"events": 2},
+    # corpus tier: checkpointed TF/model/signature tables
+    "jensen_shannon_drift": {"documents": 1},
+    "kl_divergence_drift": {"documents": 1},
+    "bm25_ranked_retrieval": {"documents": 1},
+    "vocab_coverage_audit": {"documents": 1},
+    "tfidf_top_terms": {"documents": 2},
+    "heavy_hitters_topk": {"documents": 2},
+    "phrase_mining_pmi": {"documents": 2},
+    "dsir_importance_weights": {"documents": 2},
+    "minhash_estimate_accuracy": {"documents": 2},
+    "bigram_lm_score": {"documents": 2},
+    "dedup_components": {"documents": 1},
+    # component-label build + the pruned (doc_id, n_chars) metadata
+    # read — 2 is the honest total
+    "dedup_keep_best": {"documents": 2},
+    # runtime beats the 3 visible scans: exchange reuse fires across
+    # the two verify sides at execution
+    "dedup_minhash_lsh": {"documents": 2},
+    # corpus + batch roles of one table
+    "incremental_dedup": {"documents": 2},
+    "incremental_dedup_minhash": {"documents": 2},
+    "cross_source_dedup_matrix": {"documents": 2},
+    # training grams + eval shard + pruned per-source doc counts
+    "decontaminate_ngrams": {"documents": 3},
+    # r13 re-plan: group table materialized — group build + member
+    # join are the only corpus passes (was 4)
+    "semantic_dedup": {"embeddings": 2},
+    # two driver-side setup reads (md5-top-16 codebook, 3 pushed-down
+    # query rows) + ONE exploded multi-query scoring pass (was 5)
+    "ann_product_quantization": {"embeddings": 3},
+    # codebook + assignment + probe branches (production stores the
+    # first two as artifacts; ann_pq/semantic_dedup demonstrate that)
+    "ann_ivf_topk": {"embeddings": 3},
+    # queries (vec_id < 5) and corpus are two roles of one table
+    "ann_bruteforce_topk": {"embeddings": 2},
+    "ann_lsh_topk": {"embeddings": 2},
+    "embedding_cosine_pairs": {"embeddings": 2},
+}
+
+_RUNTIME_TABLES = ("lineitem", "orders", "events", "documents",
+                   "embeddings")
+
+
+@pytest.mark.parametrize("name", sorted(RUNTIME_SCANS))
+def test_runtime_fact_scans_pinned(spark, name):
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import (
+        executed_scans,
+        snapshot_executions,
+    )
+
+    if not hasattr(spark, "_jsparkSession"):
+        pytest.skip("status-store counter needs classic mode")
+    registry.load_all()
+    # cold cache both ways: a cache hit from an earlier run of the
+    # same plan would hide the build scan; a leftover persist from
+    # this test would distort later ones
+    spark.catalog.clearCache()
+    try:
+        before = snapshot_executions(spark)
+        registry.QUERIES[name](spark, SF_DIR).collect()
+        got = {
+            t: executed_scans(spark, before, t)
+            for t in _RUNTIME_TABLES
+        }
+    finally:
+        spark.catalog.clearCache()
+    got = {t: c for t, c in got.items() if c}
+    assert got == RUNTIME_SCANS[name], (
+        f"{name}: executed fact scans {got} != pinned "
+        f"{RUNTIME_SCANS[name]} — every extra unit is a full pass "
+        f"over a 100 TB table; re-plan or justify a new pin"
+    )

@@ -70,11 +70,9 @@ REPLAYED_ELSEWHERE: dict[str, str] = {
     "quantile_treatment_effect": "tests/test_round9ac.py",
     "kendall_tau_b_grid": "tests/test_round9i.py",
     "clamped_running_inventory": "tests/test_round9i.py",
-    "funnel_counts": "tests/test_round9i.py",
     "spearman_rank_corr": "tests/test_round9b.py",
     "kmeans_clusters": "tests/test_kmeans.py",
     "triangle_clustering_coeff": "tests/test_round7b.py",
-    "time_weighted_avg": "tests/test_properties.py",
     "dedup_components": "tests/test_components_star.py",
     "dedup_keep_best": "tests/test_components_star.py",
     "business_days_lag": "tests/test_round9o.py",
