@@ -345,19 +345,30 @@ def triangle_clustering_coeff(
         F.col("w1.v").alias("x"),
         F.col("w2.v").alias("y"),
     )
+    # close with an EQUI semi-join: each oriented edge appears once, so
+    # the union of both directions holds every edge exactly once per
+    # direction and (x = cu AND y = cv) hash-matches the wedge iff the
+    # undirected edge {x, y} exists. The previous OR-of-equality-pairs
+    # predicate forced a BroadcastNestedLoopJoin — O(wedges × edges)
+    # probe work and the full edge list resident in memory, worse than
+    # the naive triple join at 100× graph scale.
     closer = oriented.select(
         F.col("u").alias("cu"), F.col("v").alias("cv")
+    ).unionAll(
+        oriented.select(F.col("v").alias("cu"), F.col("u").alias("cv"))
     )
     tri = wedges.join(
         closer,
-        ((F.col("x") == F.col("cu")) & (F.col("y") == F.col("cv")))
-        | ((F.col("y") == F.col("cu")) & (F.col("x") == F.col("cv"))),
+        (F.col("x") == F.col("cu")) & (F.col("y") == F.col("cv")),
         "leftsemi",
     )
+    # one pass over the triangle set: explode the three corners instead
+    # of unioning three selects of `tri`, which inlined the whole
+    # O(m^1.5) wedge-enumeration + close subtree 3× in the physical plan
     tnodes = (
-        tri.select(F.col("p").alias("node"))
-        .unionAll(tri.select(F.col("x").alias("node")))
-        .unionAll(tri.select(F.col("y").alias("node")))
+        tri.select(
+            F.explode(F.array("p", "x", "y")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

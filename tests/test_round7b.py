@@ -22,10 +22,21 @@ def test_triangle_plan_no_cartesian(spark, sf_dir):
 
     plan = _plan(triangle_clustering_coeff(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the wedge-close condition is an OR of equality pairs — Spark
-    # plans it as BroadcastNestedLoop on the (small) oriented edge
-    # set; the wedge enumeration itself must be a hash join
+    # r13: the wedge-close is an equi semi-join against the union of
+    # both edge orientations — every join in the plan must hash (or
+    # sort-merge); a BroadcastNestedLoopJoin means the OR-of-pairs
+    # predicate regressed (O(wedges × edges) probe work at scale)
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # the wedge-enumeration self-join must appear exactly once: the
+    # triangle corners are exploded in one pass, not unioned from
+    # three selects that each inline the O(m^1.5) subtree. The wedge
+    # join is the only inner join with a non-equi (v < v) extra
+    # condition, so its count in the plan is the re-execution count.
+    import re
+
+    wedge = re.findall(r"Join condition: \(v#\d+L? < v#\d+L?\)", plan)
+    assert len(wedge) == 1, wedge
 
 
 def test_triangle_matches_naive(spark, sf_dir):
