@@ -74,6 +74,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   (5 executed -> 3). Values identical everywhere; all eight
 #   re-verified at both scales.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r13 verdict item 1: the triangle close is now an equi semi-join
+    # (union of both edge orientations) and the corners explode in one
+    # pass — the wedge subtree runs once; values identical.
+    "triangle_clustering_coeff",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",
