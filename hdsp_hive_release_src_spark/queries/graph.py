@@ -195,6 +195,13 @@ def shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = nodes.join(B(src)).select(
         "n", F.when(F.col("n") == F.col("s"), 0).alias("d")
     )
+    # r13 subtree-sweep fix: `dist` is consumed TWICE per round (the
+    # frontier join and the min-union), so a lazy loop DOUBLES the plan
+    # each round — the round-1 subtree appeared 2^(rounds-1) = 8x in
+    # the final physical plan (invisible to the parquet scan audit:
+    # the repeats hang off the pairs checkpoint). One node-sized
+    # localCheckpoint per round keeps every round's work executed once.
+    dist = dist.localCheckpoint()
     for _ in range(_BFS_ROUNDS):
         frontier = (
             edges.join(
@@ -208,6 +215,7 @@ def shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(frontier)
             .groupBy("n")
             .agg(F.min("d").alias("d"))
+            .localCheckpoint()
         )
     return (
         dist.where(F.col("d").isNotNull())

@@ -155,7 +155,15 @@ def kl_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     w_tot = Window.partitionBy("source")
-    corpus = per_source.groupBy("w").agg(F.sum("c").alias("cc"))
+    # r13 subtree-sweep fix: `corpus` feeds both the broadcast into
+    # the enriched join and the corpus total, so the vocab aggregate
+    # over the (large) TF checkpoint executed twice. The corpus table
+    # is vocab-sized — checkpoint it once; ctot reads the checkpoint.
+    corpus = (
+        per_source.groupBy("w")
+        .agg(F.sum("c").alias("cc"))
+        .localCheckpoint()
+    )
     corpus_tot = corpus.agg(F.sum("cc").alias("ctot"))
     enriched = (
         per_source.withColumn("tot", F.sum("c").over(w_tot))

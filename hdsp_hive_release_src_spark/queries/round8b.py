@@ -277,13 +277,24 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
     )
-    d = cum.crossJoin(B(tot)).select(
-        "v",
-        "n1",
-        "n2",
-        F.abs(
-            F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2")
-        ).alias("dn"),
+    # r13 subtree-sweep fix: `d` feeds the max probe AND the argmax
+    # probe, and `tot` is broadcast into d and re-read by the final
+    # select — the cumulative window over the price grid executed
+    # twice and the totals aggregate four times. Both are grid-sized
+    # (bounded cents domain), so one checkpoint each makes every
+    # downstream probe a single pass over materialized data.
+    tot = tot.localCheckpoint()
+    d = (
+        cum.crossJoin(B(tot))
+        .select(
+            "v",
+            "n1",
+            "n2",
+            F.abs(
+                F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2")
+            ).alias("dn"),
+        )
+        .localCheckpoint()
     )
     mx = d.agg(F.max("dn").cast("long").alias("d_num"))
     at = (
@@ -365,10 +376,21 @@ def topo_sort_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("src"), (F.col("n") * 3).alias("dst")
         )
     )
-    edges = cand.join(
-        nodes.withColumnRenamed("n", "dst"), "dst"
-    ).select("src", "dst")
-    frontier = nodes.select("n", F.lit(0).alias("layer"))
+    # r13 subtree-sweep fix: `frontier` is consumed twice per round
+    # (the next propagation join and the `reached` union), so the lazy
+    # loop re-inlined every earlier round — the round-1 join appeared
+    # 8x in the final plan and `part` was re-scanned ~28x (invisible
+    # to the fact-table scan audit, which doesn't count part). The
+    # edge list is checkpointed once and each (shrinking, node-sized)
+    # frontier once per round: every join now executes exactly once.
+    edges = (
+        cand.join(nodes.withColumnRenamed("n", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    frontier = nodes.select(
+        "n", F.lit(0).alias("layer")
+    ).localCheckpoint()
     reached = frontier
     for _ in range(_TOPO_ROUNDS):
         frontier = (
@@ -377,6 +399,7 @@ def topo_sort_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("n"),
                 (F.col("layer") + 1).alias("layer"),
             )
+            .localCheckpoint()
         )
         reached = reached.unionByName(frontier)
     layers = reached.groupBy("n").agg(F.max("layer").alias("layer"))

@@ -78,6 +78,15 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # (union of both edge orientations) and the corners explode in one
     # pass — the wedge subtree runs once; values identical.
     "triangle_clustering_coeff",
+    # r13 verdict item 2 (subtree sweep): re-executed plan subtrees
+    # re-planned — BFS and topo-layering checkpoint each node-sized
+    # frontier (the two-consumer loop doubled the plan per round);
+    # ks checkpoints the grid-sized gap table; kl checkpoints the
+    # vocab aggregate. Values identical everywhere.
+    "shortest_path_bfs",
+    "topo_sort_layers",
+    "ks_two_sample",
+    "kl_divergence_drift",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",

@@ -1,0 +1,248 @@
+"""One-shot audit: flag RE-EXECUTED physical-plan subtrees — the
+triangle defect class the parquet-leaf scan sweep is structurally
+blind to (a repeated join/aggregate subtree hanging off a
+localCheckpoint has zero `Location` lines, so tools/scan_sweep.py
+never sees it).
+
+Method: parse the operator tree of every registered query's formatted
+physical plan, fingerprint each subtree by its operator-chain shape
+(operator names + child fingerprints, expression ids stripped), and
+flag any fingerprint that (a) occurs >= 2x in one plan, (b) contains a
+Join or Aggregate (cheap scan/project repeats are the normal two sides
+of a self-join), and (c) is not a `ReusedExchange`/`ReusedSubquery`
+reference (those are Spark's own dedup — a reference, not a re-run).
+Only MAXIMAL repeated subtrees are reported (a flagged subtree's
+descendants are not re-reported).
+
+A repeated subtree in the STATIC plan text is a real re-execution:
+Spark's exchange reuse (on by default) rewrites the second occurrence
+of an identical exchange-rooted subtree to `ReusedExchange` at plan
+time, so anything still printed in full twice will run twice.
+
+Known-legitimate repeats are exempted with a reason below — the
+`deg`-style union off a checkpoint is invisible here anyway (the
+checkpoint IS the leaf); what this catches is the `tri`-style union
+off a live join (queries/graph.py's r12 shape, fixed in r13).
+
+Usage: PYTHONPATH=/root/repo python tools/subtree_sweep.py [sf_dir]
+Writes tools/SUBTREE_SWEEP_r13.json (one entry per query:
+clean / flagged / exempt / unplannable).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import Counter
+
+# queries whose repeated subtree IS the demonstrated semantics —
+# same adjudication style as SCAN_SWEEP by_design
+EXEMPT: dict[str, str] = {
+    "join_hint_strategies": "hint A/B comparison replans the same join twice by design",
+    "not_in_null_semantics": "NOT IN vs anti-join comparison builds both plans on the same subtree",
+    "set_ops": "UNION/INTERSECT/EXCEPT branches re-derive the same projection by design",
+    "merge_upsert": "MERGE emulation matches + anti-matches the same target-source join",
+    "table_sample_percent_rows": "sample vs checksum-twin vs totals are deliberate independent passes",
+    "hll_sketch_union": "per-group sketches vs exact-total contract are deliberate independent passes",
+    "ann_recall_audit": "LSH path vs exact twin both derive from the same query-batch join by definition",
+    "abc_pareto_class": "range_prefix_sum two-pass shares the ranked aggregate by design",
+    "distinct_set_algebra": "set-algebra identity check evaluates each side of the identity independently",
+}
+
+_MARKER = re.compile(r"^((?:[:+][- ]\s?|\s{3})*)\*?\s*(.+?)\s*$")
+_EXPR_ID = re.compile(r"#\d+[A-Za-z]*")
+_PLAN_ID = re.compile(r"\((\d+)\)")
+_NOISE = re.compile(r"plan_id=\d+|id=#?\d+|Reuses operator id: \d+")
+_DETAIL_HDR = re.compile(r"^\((\d+)\) (.+?)(?: \[codegen id : \d+\])?$")
+_EXPENSIVE = re.compile(
+    r"Join|HashAggregate|SortAggregate|ObjectHashAggregate|Window"
+)
+_REUSE = re.compile(
+    # Reused* are plan-time references; InMemory* repeats are reads of
+    # a table persisted once — materialization working as designed,
+    # not re-execution (the cache-build plan prints under every read).
+    r"ReusedExchange|ReusedSubquery|InMemoryRelation|InMemoryTableScan"
+)
+
+
+def _tree_lines(plan: str) -> list[str]:
+    """The operator-tree section of a formatted explain: from the
+    '== Physical Plan ==' header to the first blank line."""
+    lines = plan.splitlines()
+    try:
+        start = next(
+            i for i, ln in enumerate(lines) if ln.startswith("== Physical Plan")
+        ) + 1
+    except StopIteration:
+        return []
+    out = []
+    for ln in lines[start:]:
+        if not ln.strip():
+            break
+        out.append(ln)
+    return out
+
+
+def _details(plan: str) -> dict[str, str]:
+    """Per-operator detail blocks of a formatted explain, normalized:
+    expression ids and plan-id noise stripped. Keyed by the operator's
+    plan number. The detail (keys, aggregate functions, join
+    conditions, scan locations, RDD arguments) is what distinguishes
+    two same-shaped but different computations — without it the sweep
+    flags every pair of shape-identical aggregates."""
+    out: dict[str, list[str]] = {}
+    cur: str | None = None
+    in_details = False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan"):
+            in_details = True
+            continue
+        if not in_details:
+            continue
+        m = _DETAIL_HDR.match(ln)
+        if m:
+            cur = m.group(1)
+            out[cur] = [m.group(2)]
+            continue
+        if cur is not None:
+            if not ln.strip():
+                cur = None
+                continue
+            out[cur].append(ln.strip())
+    return {
+        k: _NOISE.sub("", _EXPR_ID.sub("#", "\n".join(v)))
+        for k, v in out.items()
+    }
+
+
+class _Node:
+    __slots__ = ("op", "detail", "children", "fp", "size")
+
+    def __init__(self, op: str, detail: str):
+        self.op = op
+        self.detail = detail
+        self.children: list[_Node] = []
+        self.fp = ""
+        self.size = 1
+
+
+def _parse(lines: list[str], details: dict[str, str]) -> _Node | None:
+    """Indentation-based parse of the formatted operator tree."""
+    root = None
+    stack: list[tuple[int, _Node]] = []
+    for ln in lines:
+        m = _MARKER.match(ln)
+        if not m:
+            continue
+        depth = len(m.group(1)) // 3
+        raw = m.group(2)
+        pid = _PLAN_ID.search(raw)
+        op = _PLAN_ID.sub("", _EXPR_ID.sub("#", raw)).strip()
+        node = _Node(op, details.get(pid.group(1), "") if pid else "")
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            stack[-1][1].children.append(node)
+        else:
+            root = node
+        stack.append((depth, node))
+    return root
+
+
+def _fingerprint(node: _Node) -> None:
+    for c in node.children:
+        _fingerprint(c)
+        node.size += c.size
+    node.fp = (
+        node.op
+        + "{"
+        + node.detail
+        + "}["
+        + ",".join(c.fp for c in node.children)
+        + "]"
+    )
+
+
+def _flag(root: _Node) -> list[dict]:
+    """Maximal repeated expensive subtrees: fingerprint count >= 2,
+    contains a join/aggregate/window, not a Reused* reference."""
+    counts: Counter[str] = Counter()
+
+    def walk(n: _Node) -> None:
+        counts[n.fp] += 1
+        for c in n.children:
+            walk(c)
+
+    walk(root)
+    flagged: list[dict] = []
+    seen: set[str] = set()
+
+    def visit(n: _Node, under_flagged: bool) -> None:
+        hit = (
+            not under_flagged
+            and counts[n.fp] >= 2
+            and n.size >= 3
+            and _EXPENSIVE.search(n.fp) is not None
+            and not _REUSE.search(n.op)
+        )
+        if hit and n.fp not in seen:
+            seen.add(n.fp)
+            flagged.append(
+                {"op": n.op, "occurrences": counts[n.fp], "size": n.size}
+            )
+        for c in n.children:
+            visit(c, under_flagged or hit)
+
+    visit(root, False)
+    return flagged
+
+
+def main() -> None:
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+    from hdsp_hive_release_src_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="subtree_sweep", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    entries: dict[str, dict] = {}
+    n_flagged = 0
+    for name in sorted(registry.QUERIES):
+        if name in EXEMPT:
+            entries[name] = {"status": "exempt", "reason": EXEMPT[name]}
+            continue
+        try:
+            plan = explain_str(registry.QUERIES[name](spark, sf))
+        except Exception as ex:  # streaming/ddl queries may not plan
+            entries[name] = {
+                "status": "unplannable",
+                "reason": type(ex).__name__,
+            }
+            continue
+        root = _parse(_tree_lines(plan), _details(plan))
+        if root is None:
+            entries[name] = {"status": "unplannable", "reason": "no tree"}
+            continue
+        _fingerprint(root)
+        hits = _flag(root)
+        if hits:
+            n_flagged += 1
+            entries[name] = {"status": "flagged", "subtrees": hits}
+            print(f"{name}: {hits}", flush=True)
+        else:
+            entries[name] = {"status": "clean"}
+    print(f"# done: {n_flagged} queries with repeated expensive subtrees")
+    out = {
+        "round": 13,
+        "n_queries": len(entries),
+        "n_flagged": n_flagged,
+        "entries": entries,
+    }
+    with open("tools/SUBTREE_SWEEP_r13.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
