@@ -271,10 +271,14 @@ def supplier_concentration_hhi(
         .groupBy("p_type", "l_suppkey")
         .agg(F.sum("l_extendedprice").alias("rev"))
     )
-    tot = share.groupBy("p_type").agg(F.sum("rev").alias("t"))
+    # r13 subtree-sweep fix: the per-type total was a second aggregate
+    # joined back, re-running the lineitem x part join. A
+    # type-partitioned window computes it in the same pass.
     s = F.col("rev") / F.col("t")
     return (
-        share.join(F.broadcast(tot), "p_type")
+        share.withColumn(
+            "t", F.sum("rev").over(Window.partitionBy("p_type"))
+        )
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),

@@ -217,7 +217,10 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins estimate AND error, not just "close enough". Integer
     division throughout."""
     ev = Catalog(spark, sf_dir).events
-    ids = ev.select("user_id").distinct()
+    # r13 subtree-sweep fix: the k-th hash probe and the exact count
+    # both re-ran the distinct from parquet. The id set is
+    # dimension-sized — checkpoint once.
+    ids = ev.select("user_id").distinct().localCheckpoint()
     hashed = ids.select(
         "user_id",
         ((F.lit(KMV_A) * F.col("user_id") + KMV_B) % CMS_P).alias("h"),

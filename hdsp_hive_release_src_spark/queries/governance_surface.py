@@ -679,10 +679,13 @@ def cusum_drift_detection(
     float boundary anywhere. At 100 TB the input to the windows is
     the DAILY aggregate — window length = days, not events."""
     ev = Catalog(spark, sf_dir).events
+    # r13 subtree-sweep fix: the allowance params and the window input
+    # both re-ran the daily rollup from parquet. Day-grain table —
+    # checkpoint once.
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     params = daily.groupBy("event_type").agg(
         F.expr("(11 * sum(n)) div (10 * count(*))").alias("k")
     )

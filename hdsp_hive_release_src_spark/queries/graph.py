@@ -98,9 +98,15 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
     )
     outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # contribution edges (src, dst, 1/outdeg) stay fixed all rounds
-    contrib = edges.join(outd, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("d")).alias("w")
+    # contribution edges (src, dst, 1/outdeg) stay fixed all rounds.
+    # r13 subtree-sweep fix: every round consumed `contrib` lazily, so
+    # the degree join re-executed per round (3x in the final plan);
+    # one edge-sized checkpoint computes it once — which is what
+    # "computed once and reused every round" must mean physically.
+    contrib = (
+        edges.join(outd, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+        .localCheckpoint()
     )
     ranks = edges.select(F.col("src").alias("n")).distinct().select(
         "n", F.lit(1.0).alias("rank")

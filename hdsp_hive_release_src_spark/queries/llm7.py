@@ -211,12 +211,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # headroom that never fires on healthy data (asserted in tests);
     # the oracle replays the identical cap, so parity checks the
     # documented recall contract, not luck.
-    w_cell = Window.partitionBy("cid")
-    cells = (
+    # r13 subtree-sweep fix: the cap was a cid-partitioned window that
+    # both pair-join sides re-executed (two shuffles of the assigned
+    # table). The keep-list is cell-dimension-sized: aggregate it
+    # once, checkpoint, and broadcast-semi-join — both sides are now
+    # map-side over the materialized assignment parquet.
+    keep_cells = (
         spark.read.parquet(path)
-        .withColumn("_csz", F.count(F.lit(1)).over(w_cell))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_csz"))
         .where(F.col("_csz") <= SEMANTIC_MAX_CELL)
-        .drop("_csz")
+        .select("cid")
+        .localCheckpoint()
+    )
+    cells = spark.read.parquet(path).join(
+        B(keep_cells), "cid", "leftsemi"
     )
     a = cells.alias("a")
     b = cells.alias("b")

@@ -545,10 +545,14 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     )
     freq = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
-    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    # r13 subtree-sweep fix: the per-doc total was a second aggregate
+    # joined back, re-running the char explode. A doc-partitioned
+    # window computes it in the same pass — no join, one scan.
+    wdoc = Window.partitionBy("doc_id")
+    freq = freq.withColumn("total", F.sum("n").over(wdoc))
     p = F.col("n") / F.col("total")
     return (
-        freq.join(tot, "doc_id")
+        freq
         .groupBy("doc_id", "total")
         .agg(
             F.round(-F.sum(p * F.log2(p)), 4).alias("entropy")

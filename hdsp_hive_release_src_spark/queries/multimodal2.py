@@ -116,9 +116,12 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic behind every data-mixture config. One aggregation
     shuffle; the totals are a broadcast scalar."""
     d = Catalog(spark, sf_dir).documents
+    # r13 subtree-sweep fix: the totals and the output join both
+    # re-ran the per-source rollup from parquet. Source-sized —
+    # checkpoint once.
     tok = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint()
     tot = tok.agg(
         F.sum("n_tokens").alias("total"),
         F.count(F.lit(1)).alias("n_sources"),

@@ -360,6 +360,9 @@ def boilerplate_position_bias(
     arithmetic is exact integers (bias is bigint permille via integer
     division) — zero float-order risk by construction."""
     d = Catalog(spark, sf_dir).documents
+    # r13 subtree-sweep fix: the vocab table fed both the totals and
+    # the output join, re-running the tokenize scan twice. Checkpoint
+    # the vocab-sized table; the totals read it.
     per_tok = (
         d.select(
             F.posexplode(F.split("text", " ")).alias("pos", "token")
@@ -371,6 +374,7 @@ def boilerplate_position_bias(
                 (F.col("pos") < _BP_HEAD).cast("int")
             ).alias("n_head"),
         )
+        .localCheckpoint()
     )
     tot = per_tok.agg(
         F.sum("n_total").alias("all_total"),

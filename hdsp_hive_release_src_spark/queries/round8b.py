@@ -296,7 +296,11 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    mx = d.agg(F.max("dn").cast("long").alias("d_num"))
+    # mx feeds both the argmax join and the final row — 1-row
+    # checkpoint so the grid aggregate runs once
+    mx = d.agg(
+        F.max("dn").cast("long").alias("d_num")
+    ).localCheckpoint()
     at = (
         d.join(B(mx), d.dn == mx.d_num)
         .agg(F.min("v").alias("ks_at_value"))
@@ -464,10 +468,14 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~1e9 events/day over a century — beyond that, promote the
     accumulators to double (documented)."""
     e = Catalog(spark, sf_dir).events
+    # r13 subtree-sweep fix: both sides of the lag self-join re-ran
+    # the daily count from parquet. The series is date-sized (one row
+    # per day) — checkpoint it once; both join sides read it.
     daily = (
         e.select(F.col("ts").cast("date").alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(
         F.col("id").alias("k")

@@ -98,10 +98,14 @@ def conformal_prediction_interval(
             .alias("c"),
         )
     )
+    # r13 subtree-sweep fix: the model is broadcast into BOTH the
+    # calibration and test branches, each re-running the per-priority
+    # aggregate over the persisted projection. Five rows — checkpoint.
     model = (
         s.where(F.col("arm") == 0)
         .groupBy("p")
         .agg(F.expr("cast(sum(c) div count(1) as bigint)").alias("mu"))
+        .localCheckpoint()
     )
     cal = (
         s.where(F.col("arm") == 0)

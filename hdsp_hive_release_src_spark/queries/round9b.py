@@ -316,13 +316,16 @@ def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("d"),
         F.dayofweek("ts").alias("dow"),
     ).agg(F.count(F.lit(1)).alias("c"))
+    # r13 subtree-sweep fix: the global totals re-ran the daily
+    # rollup; they are the column sums of the 7-row weekday table —
+    # checkpoint it and derive them, one rollup pass total.
     per = daily.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("c").alias("n_events"),
-    )
-    tot = daily.agg(
-        F.count(F.lit(1)).alias("all_days"),
-        F.sum("c").alias("all_events"),
+    ).localCheckpoint()
+    tot = per.agg(
+        F.sum("n_days").alias("all_days"),
+        F.sum("n_events").alias("all_events"),
     )
     return (
         per.crossJoin(F.broadcast(tot))
@@ -387,11 +390,14 @@ def ewma_halving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.to_date("o_orderdate").alias("d")
     ).agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
+    # r13 subtree-sweep fix: both band-join sides re-ran the daily
+    # rollup + row_number from parquet. The sequenced series is
+    # date-sized — checkpoint once, join reads it twice.
     seq = daily.select(
         "d",
         "cents",
         F.row_number().over(Window.orderBy("d")).alias("rn"),
-    )
+    ).localCheckpoint()
     a = seq.alias("a")
     b = seq.alias("b")
     w = F.expr(

@@ -198,9 +198,15 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    ).withColumnRenamed("src", "node")
+    # r13 subtree-sweep fix: "ONE aggregation reused on both
+    # endpoints" must hold physically too — lazily both broadcast
+    # sides re-ran the degree agg. Node-sized checkpoint.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
     ed = (
         edges.join(
             B(deg.withColumnRenamed("d", "x")),
@@ -284,8 +290,11 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rnk"),
     )
-    top = ranked.where(F.col("rnk") <= _ZIPF_TOPK)
-    f1 = ranked.where(F.col("rnk") == 1).select(
+    # r13 subtree-sweep fix: top-k and the rank-1 probe both re-ran
+    # the explode + count + rank chain; rank 1 lives inside the top-k
+    # rows, so checkpoint the 50-row head and derive both from it.
+    top = ranked.where(F.col("rnk") <= _ZIPF_TOPK).localCheckpoint()
+    f1 = top.where(F.col("rnk") == 1).select(
         F.col("f").alias("fmax")
     )
     return (
@@ -564,8 +573,14 @@ def jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = per_source.groupBy("source").agg(
         F.sum("c").cast("long").alias("tot")
     )
-    corpus = per_source.groupBy("w").agg(
-        F.sum("c").cast("long").alias("cc")
+    # r13 subtree-sweep fix (the kl twin got the same): corpus feeds
+    # both the broadcast join and the corpus total, so the vocab
+    # aggregate over the TF checkpoint executed twice. Checkpoint the
+    # vocab-sized table once; ctot reads it.
+    corpus = (
+        per_source.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("cc"))
+        .localCheckpoint()
     )
     ctot = corpus.agg(F.sum("cc").cast("long").alias("ct"))
     terms = (

@@ -360,10 +360,13 @@ def pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = cov.groupBy("j").agg(F.sum("c").alias("w")).select(
         F.col("j").alias("k"), "w"
     )
+    # r13 subtree-sweep fix: the max probe and the output both re-ran
+    # the second mat-vec off the cov checkpoint. 64 rows — checkpoint.
     v2 = (
         cov.join(B(v1), "k")
         .groupBy("j")
         .agg(F.sum(F.col("c") * F.col("w")).alias("w2"))
+        .localCheckpoint()
     )
     mx = v2.agg(F.max(F.abs(F.col("w2"))).alias("m"))
     return (

@@ -251,15 +251,22 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.sum("a").cast("long").alias("h"))
     )
+    # r13 subtree-sweep fix: a2 has three consumers (h2, its max, the
+    # authority rows) and h2 two (its max, the hub rows) — lazily each
+    # consumer re-ran the whole iteration chain from the edge
+    # checkpoint. Node-sized checkpoints make each iteration execute
+    # exactly once.
     a2 = (
         pairs.join(B(h1), "src")
         .groupBy("dst")
         .agg(F.sum("h").cast("long").alias("a"))
+        .localCheckpoint()
     )
     h2 = (
         pairs.join(B(a2), "dst")
         .groupBy("src")
         .agg(F.sum("a").cast("long").alias("h"))
+        .localCheckpoint()
     )
     mh = h2.agg(F.max("h").alias("m"))
     ma = a2.agg(F.max("a").alias("m"))
@@ -323,13 +330,20 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the fact table). The only remaining window orders the ten
     decile rows."""
     o = Catalog(spark, sf_dir).orders
-    spend = o.groupBy("o_custkey").agg(
-        F.sum(F.expr(_CENTS)).cast("long").alias("cents")
+    # r13 subtree-sweep fix: spend feeds the rank operator (which
+    # probes it twice at build time) plus the totals and decile
+    # branches — the per-customer aggregate re-executed from parquet
+    # for each. One dimension-bounded checkpoint; the total also
+    # reads it directly instead of the ranked output.
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
+        .localCheckpoint()
     )
     ranked, nc = with_global_rank(
         spend, "cents", ["o_custkey"], rank_col="rn"
     )
-    n = ranked.agg(F.sum("cents").cast("long").alias("tot"))
+    n = spend.agg(F.sum("cents").cast("long").alias("tot"))
     dec = ranked.crossJoin(B(n)).select(
         F.expr(f"CAST(((rn - 1) * 10) div {nc} AS BIGINT)").alias(
             "decile"
@@ -408,8 +422,13 @@ def source_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(round(CAST(x AS DOUBLE) * {_CC_Q}) AS BIGINT)").alias("v"),
         )
     )
-    cent = comp.groupBy("source", "j").agg(
-        F.sum("v").cast("long").alias("sv")
+    # r13 subtree-sweep fix: both sides of the centroid self-join
+    # re-ran the corpus pass (embeddings join + posexplode + agg).
+    # The centroid table is sources x 64 cells — checkpoint it once.
+    cent = (
+        comp.groupBy("source", "j")
+        .agg(F.sum("v").cast("long").alias("sv"))
+        .localCheckpoint()
     )
     a = cent.alias("a")
     b = cent.alias("b")

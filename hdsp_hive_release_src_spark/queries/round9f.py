@@ -448,9 +448,12 @@ def theil_index_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzz-validated kl_divergence_drift float shape (sum of
     per-term doubles, round 6)."""
     o = Catalog(spark, sf_dir).orders
+    # r13 subtree-sweep fix: the totals and the entropy fold both
+    # re-ran the per-customer rollup from parquet. Dimension-sized —
+    # checkpoint once.
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.expr(_CENTS)).cast("long").alias("x")
-    )
+    ).localCheckpoint()
     n = spend.agg(
         F.count(F.lit(1)).cast("long").alias("nc"),
         F.sum("x").cast("long").alias("tot"),

@@ -168,12 +168,14 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     tot = g.agg(F.sum("cents").cast("long").alias("t"))
+    # r13 subtree-sweep fix: leftover and ranked both re-derived the
+    # quota rows (re-broadcasting the total). Five rows — checkpoint.
     quota = g.crossJoin(B(tot)).select(
         "pri",
         "cents",
         F.expr(f"cents * {_ALLOC_BUDGET} div t").alias("base"),
         F.expr(f"cents * {_ALLOC_BUDGET} % t").alias("rem"),
-    )
+    ).localCheckpoint()
     leftover = quota.agg(
         F.expr(
             f"CAST({_ALLOC_BUDGET} - sum(base) AS BIGINT)"

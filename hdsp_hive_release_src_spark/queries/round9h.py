@@ -90,11 +90,16 @@ def mom_waterfall_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         (F.col("cents") - F.col("prev")).alias("contribution"),
     )
-    tot = delta.groupBy("mon").agg(
-        F.sum("contribution").cast("long").alias("total_delta")
-    )
+    # r13 subtree-sweep fix: the month total was a second aggregate
+    # joined back, re-running the rollup + lag window. A
+    # month-partitioned window computes it in the same pass.
     return (
-        delta.join(tot, "mon")
+        delta.withColumn(
+            "total_delta",
+            F.sum("contribution")
+            .over(Window.partitionBy("mon"))
+            .cast("long"),
+        )
         .where(F.year("mon") == 1998)
         .select(
             "mon",
@@ -344,6 +349,9 @@ def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        # r13 subtree-sweep fix: both self-join sides re-ran the fact
+        # join + distinct from parquet. Edge-sized — checkpoint once.
+        .localCheckpoint()
     )
     a = pairs.alias("a")
     b = pairs.alias("b")
@@ -444,6 +452,9 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS DOUBLE), (a, b) -> a + b)"
         ).alias("t")
     )
+    # r13 subtree-sweep fix: leftover and ranked both re-derived the
+    # quota rows (re-broadcasting the weight total). Five rows —
+    # checkpoint (same fix as largest_remainder_allocation).
     quota = w.crossJoin(B(tw)).select(
         "pri",
         "n",
@@ -452,7 +463,7 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"weight * {_NEYMAN_TOTAL} / t"
             f" - floor(weight * {_NEYMAN_TOTAL} / t)"
         ).alias("rem"),
-    )
+    ).localCheckpoint()
     leftover = quota.agg(
         F.expr(f"CAST({_NEYMAN_TOTAL} - sum(base) AS BIGINT)").alias(
             "k"

@@ -491,7 +491,10 @@ def cosupply_bipartite_projection(
         .where(F.col("d") <= COSUPPLY_MAX_DEGREE)
         .select("part")
     )
-    keep = e.join(deg, "part")
+    # r13 subtree-sweep fix: both self-join sides re-ran the degree
+    # filter join off the edge checkpoint; the capped edge list is
+    # edge-sized — checkpoint it so the filter executes once.
+    keep = e.join(deg, "part").localCheckpoint()
     a = keep.alias("a")
     b = keep.alias("b")
     pairs = (
@@ -726,12 +729,20 @@ def association_rules_lift(
         .where(F.col("sz").between(2, 200))
         .select("user_id")
     )
-    basket = it.join(keep, "user_id")
+    # r13 subtree-sweep fix: basket has four consumers (n, item
+    # support, both pair-join sides) that each re-ran the size-filter
+    # join off the checkpoint, and the item-support table fed both
+    # broadcast sides. One checkpoint each: basket is bounded by the
+    # distinct (user, item) table it filters, isup by the item
+    # dimension.
+    basket = it.join(keep, "user_id").localCheckpoint()
     n = basket.agg(
         F.countDistinct("user_id").cast("long").alias("n")
     )
-    isup = basket.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("sup")
+    isup = (
+        basket.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .localCheckpoint()
     )
     a = basket.alias("a")
     b = basket.alias("b")

@@ -448,9 +448,13 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(KMV2_K)
         )
 
-    a_ids = ids(F.col("event_type") == "purchase")
-    b_ids = ids(F.col("event_type") == "click")
-    u_ids = a_ids.unionByName(b_ids).distinct()
+    # r13 subtree-sweep fix: each id set has 2-3 consumers (its
+    # synopsis, the union, the membership joins) that re-ran the
+    # filter+distinct off the checkpoint. Dimension-sized — one
+    # checkpoint each makes every consumer a read.
+    a_ids = ids(F.col("event_type") == "purchase").localCheckpoint()
+    b_ids = ids(F.col("event_type") == "click").localCheckpoint()
+    u_ids = a_ids.unionByName(b_ids).distinct().localCheckpoint()
     est_cols = []
     for name, d in (("a", a_ids), ("b", b_ids), ("union", u_ids)):
         kth = syn(d).agg(F.max("h").alias("kth"))

@@ -104,9 +104,19 @@ def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (6 scans measured); one edge-sized checkpoint
         .localCheckpoint()
     )
+    # r13 subtree-sweep fix: the eligibility join fed both candidate
+    # sides and the customer-degree table both broadcast sides — each
+    # re-ran off the edge checkpoint. One edge-sized and one
+    # dimension-sized checkpoint make them single-pass.
     ds = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    dc = pairs.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    elig = pairs.join(B(ds.where(F.col("d") <= RA_DEG_CAP)), "s")
+    dc = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    elig = pairs.join(
+        B(ds.where(F.col("d") <= RA_DEG_CAP)), "s"
+    ).localCheckpoint()
     a = elig.select(F.col("c").alias("c1"), "s", "d")
     b = elig.select(F.col("c").alias("c2"), "s")
     sc = (
@@ -190,6 +200,9 @@ def binseg_changepoint_gain(
     only full-data pass. Top {BINSEG_TOP} splits with segment means,
     deterministic (gain, date) order."""
     ev = Catalog(spark, sf_dir).events
+    # r13 subtree-sweep fix: the cumulative sequence and the totals
+    # both re-ran the daily rollup from parquet. Date-sized —
+    # checkpoint once.
     daily = ev.groupBy(
         F.col("ts").cast("date").alias("d")
     ).agg(
@@ -197,7 +210,7 @@ def binseg_changepoint_gain(
             "cast(sum(cast(round(value * 100) as bigint)) div 10000"
             " as bigint)"
         ).alias("v")
-    )
+    ).localCheckpoint()
     w = Window.orderBy("d")
     seq = daily.select(
         "d",
@@ -431,6 +444,10 @@ def stratified_ate_gcomputation(
             .alias("sc"),
         )
         .where((F.col("nt") > 0) & (F.col("nc") > 0))
+        # r13 subtree-sweep fix: the per-stratum rows and the pooled
+        # _all row both re-ran the stratum aggregate from parquet.
+        # Stratum-bounded — checkpoint once.
+        .localCheckpoint()
     )
     per = g.select(
         "stratum",

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
+from hdsp_hive_release_src_spark.operators.materialize import (
+    persist_fact_rows,
+)
 from hdsp_hive_release_src_spark.functions.text import (
     STOPWORDS_EN,
     sql_in_list,
@@ -114,15 +117,23 @@ def rake_keyword_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grp"),
     )
-    pw = nonstop.select(
-        "doc_id",
-        "grp",
-        "i",
-        "w",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("doc_id", "grp"))
-        .alias("plen"),
-    ).where(F.col("plen").between(RAKE_MIN_LEN, RAKE_MAX_LEN))
+    # r13 subtree-sweep fix: the word-score aggregate and the phrase
+    # re-assembly both consumed pw, re-running the tokenize + islands
+    # windows from parquet. pw is token-row-sized (grows with the
+    # corpus) — DISK_ONLY persist per the materialize.py discipline,
+    # so the second consumer re-reads the narrow projection instead
+    # of re-executing two windows over the full scan.
+    pw = persist_fact_rows(
+        nonstop.select(
+            "doc_id",
+            "grp",
+            "i",
+            "w",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id", "grp"))
+            .alias("plen"),
+        ).where(F.col("plen").between(RAKE_MIN_LEN, RAKE_MAX_LEN))
+    )
     ws = pw.groupBy("w").agg(
         F.expr("cast(sum(plen) * 1000 div count(1) as bigint)").alias(
             "score_milli"

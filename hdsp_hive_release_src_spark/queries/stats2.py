@@ -275,8 +275,14 @@ def benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice")
         / F.pow(10, F.floor(F.log10("o_totalprice")))
     ).cast("int")
-    agg = o.select(digit.alias("d")).groupBy("d").agg(
-        F.count(F.lit(1)).alias("n")
+    # r13 subtree-sweep fix: the 9-row digit table fed both the total
+    # and the output join, re-running the fact scan twice. Checkpoint
+    # the 9 rows; the total reads them.
+    agg = (
+        o.select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = agg.agg(F.sum("n").alias("total"))
     return (

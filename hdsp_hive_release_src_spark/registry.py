@@ -87,6 +87,41 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "topo_sort_layers",
     "ks_two_sample",
     "kl_divergence_drift",
+    # ... and the full-registry subtree sweep's 32 further re-plans:
+    # multi-consumer reduced tables (degree/vocab/grid/stratum-sized)
+    # checkpointed once, two window-rewrites (per-group totals folded
+    # into the same pass), one DISK_ONLY persist (rake's token rows),
+    # semantic_dedup's cell cap as a checkpointed keep-list semi-join.
+    "pagerank_trade_graph",
+    "hits_hub_authority",
+    "lorenz_curve_deciles",
+    "source_centroid_cosine",
+    "association_rules_lift",
+    "cosupply_bipartite_projection",
+    "autocorr_daily_events",
+    "ewma_halving_window",
+    "benford_distribution",
+    "ra_link_prediction",
+    "binseg_changepoint_gain",
+    "boilerplate_position_bias",
+    "char_entropy_filter",
+    "degree_assortativity",
+    "zipf_rank_frequency",
+    "jensen_shannon_drift",
+    "cusum_drift_detection",
+    "kmv_distinct_estimate",
+    "kmv_set_operations",
+    "largest_remainder_allocation",
+    "mixture_weights",
+    "mom_waterfall_contribution",
+    "neyman_allocation_sampling",
+    "pca_power_iteration_exact",
+    "rake_keyword_phrases",
+    "supplier_concentration_hhi",
+    "weekday_seasonality_index",
+    "theil_index_inequality",
+    "two_hop_reach",
+    "stratified_ate_gcomputation",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",

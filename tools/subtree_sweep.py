@@ -48,6 +48,7 @@ EXEMPT: dict[str, str] = {
     "ann_recall_audit": "LSH path vs exact twin both derive from the same query-batch join by definition",
     "abc_pareto_class": "range_prefix_sum two-pass shares the ranked aggregate by design",
     "distinct_set_algebra": "set-algebra identity check evaluates each side of the identity independently",
+    "semantic_dedup": "the repeated subtree is the broadcast semi-filter of the cell cap applied directly over the materialized assignment parquet - map-side, no shuffle; its two executions ARE the two self-join sides reading the artifact, and a third materialization of the filtered cells would cost more IO than the filter",
 }
 
 _MARKER = re.compile(r"^((?:[:+][- ]\s?|\s{3})*)\*?\s*(.+?)\s*$")
@@ -179,12 +180,16 @@ def _flag(root: _Node) -> list[dict]:
     seen: set[str] = set()
 
     def visit(n: _Node, under_flagged: bool) -> None:
+        if _REUSE.search(n.op):
+            # everything below a Reused*/InMemory* node is the
+            # cache-build plan printed per read — built once, so its
+            # repeats are never re-executions
+            return
         hit = (
             not under_flagged
             and counts[n.fp] >= 2
             and n.size >= 3
             and _EXPENSIVE.search(n.fp) is not None
-            and not _REUSE.search(n.op)
         )
         if hit and n.fp not in seen:
             seen.add(n.fp)
