@@ -1,0 +1,59 @@
+"""Pin the r13 subtree-re-execution discipline (tools/subtree_sweep.py).
+
+The full-registry sweep runs as a round-start gate; this test keeps the
+defect class from silently returning between rounds by re-checking the
+queries that were the WORST offenders before the r13 re-plans:
+
+- shortest_path_bfs / topo_sort_layers: the two-consumer loop doubled
+  the plan per round (round-1 subtree appeared 8x).
+- triangle_clustering_coeff: the 3-way union re-inlined the O(m^1.5)
+  wedge subtree.
+- pagerank_trade_graph / hits_hub_authority: per-iteration re-execution
+  of the contribution / iteration chains.
+- ks_two_sample / association_rules_lift / kmv_set_operations: 3-4x
+  re-aggregation fan-outs.
+
+Any flagged subtree in these plans is a regression of a fixed defect,
+not a new finding.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from subtree_sweep import _details, _fingerprint, _flag, _parse, _tree_lines  # noqa: E402
+
+WORST_OFFENDERS = [
+    "shortest_path_bfs",
+    "topo_sort_layers",
+    "triangle_clustering_coeff",
+    "pagerank_trade_graph",
+    "hits_hub_authority",
+    "ks_two_sample",
+    "association_rules_lift",
+    "kmv_set_operations",
+    "source_centroid_cosine",
+    "cosupply_bipartite_projection",
+]
+
+
+@pytest.mark.parametrize("name", WORST_OFFENDERS)
+def test_no_repeated_expensive_subtrees(spark, sf_dir, name):
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    plan = explain_str(registry.QUERIES[name](spark, sf_dir))
+    root = _parse(_tree_lines(plan), _details(plan))
+    assert root is not None
+    _fingerprint(root)
+    hits = _flag(root)
+    assert hits == [], (
+        f"{name} re-executes a join/aggregate subtree again: {hits} — "
+        "a fixed r13 defect regressed (see tools/subtree_sweep.py)"
+    )
