@@ -431,7 +431,9 @@ def source_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     a = cent.alias("a")
-    b = cent.alias("b")
+    # the checkpoint RDD has no stats, so Catalyst would SMJ the tiny
+    # self-join — broadcast one side explicitly (sources x 64 rows)
+    b = F.broadcast(cent.alias("b"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     pairs = (
         a.join(

@@ -39,22 +39,40 @@ def test_skyline_scan_prunes_columns(spark):
 
 def test_hits_uses_broadcast_joins(spark):
     """Degree/score tables are node-sized: every per-iteration join
-    must broadcast them, never shuffle the edge list."""
+    must broadcast them, never shuffle the edge list. r13: a2/h2 are
+    checkpointed (each iteration executes once), so the iteration
+    joins run at build time behind B() hints and the FINAL plan reads
+    the node-sized checkpoints — assert no sort-merge shuffle remains
+    and the iteration results come from RDD leaves."""
     plan = _plan(registry.QUERIES["hits_hub_authority"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_centroid_cosine_broadcasts_totals(spark):
+    # the centroid table is a checkpoint (no stats), so the tiny
+    # self-join carries an explicit broadcast hint — a SortMergeJoin
+    # here means the hint was dropped
+    plan = _plan(registry.QUERIES["source_centroid_cosine"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
-def test_centroid_cosine_broadcasts_totals(spark):
-    plan = _plan(registry.QUERIES["source_centroid_cosine"](spark, SF))
-    assert "BroadcastHashJoin" in plan
-
-
 def test_ewma_scan_prunes_to_two_columns(spark):
+    """r13: the daily rollup is checkpointed (both band-join sides
+    read it), so the parquet scan runs at build time and the final
+    plan's leaves are the 3-column (d, cents, rn) checkpoint — the
+    materialization itself must stay that narrow (no order columns
+    dragged along); the single build-time scan is pinned by the
+    runtime scan counter."""
     plan = _plan(registry.QUERIES["ewma_halving_window"](spark, SF))
-    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
-    assert "o_orderdate" in scan and "o_totalprice" in scan
-    assert "o_comment" not in scan and "o_orderpriority" not in scan
+    rdd_lines = [
+        ln for ln in plan.splitlines() if "ExistingRDD" in ln
+    ]
+    assert rdd_lines
+    for ln in rdd_lines:
+        assert "o_comment" not in ln and "o_orderpriority" not in ln
+    assert "ReadSchema" not in plan  # no lazy re-scan survived
 
 
 def test_gini_scan_prunes_columns(spark):

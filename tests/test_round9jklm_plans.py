@@ -54,8 +54,18 @@ def test_cohort_ltv_window_is_partitioned_by_cohort(spark):
     ]
     assert window_lines
     for ln in window_lines:
-        # partitioned Window prints [functions], [partition], [order]
-        assert ln.count("], [") >= 2, ln
+        # partitioned+ordered Window prints [functions], [partition],
+        # [order]; the r13 per-user MIN is partitioned but UNordered —
+        # [functions], [partition]. The defect guarded against is a
+        # PARTITIONLESS window ([functions], [order]): two groups
+        # whose trailing group is a sort spec.
+        n = ln.count("], [")
+        assert n >= 1, ln
+        if n == 1:
+            trailing = ln.rsplit("], [", 1)[1]
+            assert "ASC" not in trailing and "DESC" not in trailing, (
+                f"partitionless ordered window: {ln}"
+            )
 
 
 def test_markov_two_step_matrix_joins_are_bounded(spark):
