@@ -51,6 +51,11 @@ def executed_scans(
     store = spark._jsparkSession.sharedState().statusStore()
     lst = store.executionsList()
     ran: set[int] = set()
+    # match the dataset PATH token, not the bare name: a bare
+    # substring also matches column names in checkpoint-RDD leaves
+    # (a column called n_events made a weekday query count 3 "events
+    # scans" when the real file was read once)
+    token = table if table.endswith(".parquet") else f"{table}.parquet"
     for i in range(lst.size()):
         exec_data = lst.apply(i)
         eid = exec_data.executionId()
@@ -62,7 +67,7 @@ def executed_scans(
             node = nodes.apply(j)
             if not node.name().startswith("Scan"):
                 continue
-            if table not in node.desc():
+            if token not in node.desc():
                 continue
             node_metrics = node.metrics()
             for k in range(node_metrics.size()):

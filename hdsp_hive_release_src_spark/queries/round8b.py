@@ -366,12 +366,16 @@ def topo_sort_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same fixpoint as a recursive CTE with UNION-dedup, so
     every layer value is verified, not just the shape."""
     cat = Catalog(spark, sf_dir)
+    # nodes feeds the two candidate-edge selects, the edge join's
+    # build side and frontier-0 — checkpoint the (bounded, <= 500
+    # rows) node set so part is scanned once, not four times
     nodes = (
         cat.part.where(
             (F.col("p_partkey") >= 1)
             & (F.col("p_partkey") <= _TOPO_MAX_KEY)
         )
         .select(F.col("p_partkey").alias("n"))
+        .localCheckpoint()
     )
     cand = nodes.select(
         F.col("n").alias("src"), (F.col("n") * 2).alias("dst")

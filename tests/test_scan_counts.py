@@ -336,7 +336,9 @@ RUNTIME_SCANS = {
     # scalar-max-of-view / correlated-avg shapes: second pass pinned
     # with reason in EXPECTED above
     "q15_top_supplier": {"lineitem": 2},
-    "q17_small_quantity_revenue": {"lineitem": 2},
+    # second lineitem pass is the documented correlated-avg probe;
+    # the part dimension (brand/container filter) reads once
+    "q17_small_quantity_revenue": {"lineitem": 2, "part": 1},
     "q21_sole_late_supplier": {"lineitem": 1, "orders": 1},
     # iterative family: ONE pass builds the checkpointed edge/grid/
     # moment table; every loop round reads the checkpoint
@@ -411,10 +413,32 @@ RUNTIME_SCANS = {
     "ann_bruteforce_topk": {"embeddings": 2},
     "ann_lsh_topk": {"embeddings": 2},
     "embedding_cosine_pairs": {"embeddings": 2},
+    # r13 subtree-sweep re-plans: one scan builds the checkpointed /
+    # persisted multi-consumer table; every probe reads it
+    "topo_sort_layers": {"part": 1},
+    "supplier_concentration_hhi": {"lineitem": 1, "part": 1},
+    "autocorr_daily_events": {"events": 1},
+    "ewma_halving_window": {"orders": 1},
+    "benford_distribution": {"orders": 1},
+    "binseg_changepoint_gain": {"events": 1},
+    "boilerplate_position_bias": {"documents": 1},
+    "char_entropy_filter": {"documents": 1},
+    "cusum_drift_detection": {"events": 1},
+    "zipf_rank_frequency": {"documents": 1},
+    "kmv_distinct_estimate": {"events": 1},
+    "lorenz_curve_deciles": {"orders": 1},
+    "mixture_weights": {"documents": 1},
+    "mom_waterfall_contribution": {"orders": 1},
+    "theil_index_inequality": {"orders": 1},
+    "two_hop_reach": {"lineitem": 1, "orders": 1},
+    "weekday_seasonality_index": {"events": 1},
+    "stratified_ate_gcomputation": {"events": 1},
+    "rake_keyword_phrases": {"documents": 1},
+    "source_centroid_cosine": {"documents": 1, "embeddings": 1},
 }
 
 _RUNTIME_TABLES = ("lineitem", "orders", "events", "documents",
-                   "embeddings")
+                   "embeddings", "part")
 
 
 @pytest.mark.parametrize("name", sorted(RUNTIME_SCANS))
