@@ -454,10 +454,19 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is exactly that window. Class shares are integer permille
     of the broadcast 1-row total."""
     li = Catalog(spark, sf_dir).lineitem
-    prev_ = li.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("long")
-        .alias("rev")
+    # r13 subtree-sweep fix (was exempted as "two-pass by design" —
+    # wrongly: the two prefix-sum probes, the window frame and the
+    # total each re-ran the per-part rollup from parquet). The rollup
+    # is part-dimension-sized — checkpoint it once; the 1-row total is
+    # consumed by both the classifier and the share column.
+    prev_ = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        .localCheckpoint()
     )
     ranked = range_prefix_sum(
         prev_.withColumn("neg_rev", -F.col("rev")),
@@ -465,7 +474,9 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["l_partkey"],
         sum_cols=["rev"],
     )
-    tot = prev_.agg(F.sum("rev").cast("long").alias("tot"))
+    tot = prev_.agg(
+        F.sum("rev").cast("long").alias("tot")
+    ).localCheckpoint()
     cls = ranked.crossJoin(B(tot)).select(
         "rev",
         F.when(

@@ -122,6 +122,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "theil_index_inequality",
     "two_hop_reach",
     "stratified_ate_gcomputation",
+    "abc_pareto_class",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",

@@ -435,6 +435,9 @@ RUNTIME_SCANS = {
     "stratified_ate_gcomputation": {"events": 1},
     "rake_keyword_phrases": {"documents": 1},
     "source_centroid_cosine": {"documents": 1, "embeddings": 1},
+    # was exempted in the r12 sweep as "two-pass by design" — wrongly:
+    # the per-part rollup re-ran for each prefix-sum probe. One scan.
+    "abc_pareto_class": {"lineitem": 1},
 }
 
 _RUNTIME_TABLES = ("lineitem", "orders", "events", "documents",

@@ -39,15 +39,12 @@ from collections import Counter
 # queries whose repeated subtree IS the demonstrated semantics —
 # same adjudication style as SCAN_SWEEP by_design
 EXEMPT: dict[str, str] = {
-    "join_hint_strategies": "hint A/B comparison replans the same join twice by design",
-    "not_in_null_semantics": "NOT IN vs anti-join comparison builds both plans on the same subtree",
-    "set_ops": "UNION/INTERSECT/EXCEPT branches re-derive the same projection by design",
-    "merge_upsert": "MERGE emulation matches + anti-matches the same target-source join",
-    "table_sample_percent_rows": "sample vs checksum-twin vs totals are deliberate independent passes",
-    "hll_sketch_union": "per-group sketches vs exact-total contract are deliberate independent passes",
-    "ann_recall_audit": "LSH path vs exact twin both derive from the same query-batch join by definition",
-    "abc_pareto_class": "range_prefix_sum two-pass shares the ranked aggregate by design",
-    "distinct_set_algebra": "set-algebra identity check evaluates each side of the identity independently",
+    # r13 narrowing: eight r12-era exemptions (join hints, NOT IN
+    # twin, set ops, merge, sampling twins, HLL contract, recall
+    # audit, set algebra) recorded ZERO hits once the fingerprint
+    # included operator detail — their "repeats" are distinct
+    # computations, so they are checked as normal now. Exempt queries
+    # are still planned and their hits recorded in the artifact.
     "semantic_dedup": "the repeated subtree is the broadcast semi-filter of the cell cap applied directly over the materialized assignment parquet - map-side, no shuffle; its two executions ARE the two self-join sides reading the artifact, and a third materialization of the filtered cells would cost more IO than the filter",
 }
 
@@ -215,9 +212,6 @@ def main() -> None:
     entries: dict[str, dict] = {}
     n_flagged = 0
     for name in sorted(registry.QUERIES):
-        if name in EXEMPT:
-            entries[name] = {"status": "exempt", "reason": EXEMPT[name]}
-            continue
         try:
             plan = explain_str(registry.QUERIES[name](spark, sf))
         except Exception as ex:  # streaming/ddl queries may not plan
@@ -232,7 +226,16 @@ def main() -> None:
             continue
         _fingerprint(root)
         hits = _flag(root)
-        if hits:
+        if name in EXEMPT:
+            # exempt queries are still PLANNED and their repeats
+            # recorded — the exemption documents the by-design hits,
+            # it must not hide new unrelated ones
+            entries[name] = {
+                "status": "exempt",
+                "reason": EXEMPT[name],
+                "subtrees": hits,
+            }
+        elif hits:
             n_flagged += 1
             entries[name] = {"status": "flagged", "subtrees": hits}
             print(f"{name}: {hits}", flush=True)
