@@ -73,19 +73,30 @@ def table_sample_percent_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct_n = spark.sql(
         "SELECT * FROM ts_orders_src TABLESAMPLE (25 PERCENT) REPEATABLE (7)"
     ).agg(F.count(F.lit(1)).alias("pct_n"))
-    total_n = o.agg(F.count(F.lit(1)).alias("total_n"))
+    # r13 subtree fix: the total count and the mod-sample twin are
+    # plain aggregates over the SAME unsampled table — one conditional
+    # agg pass instead of two scans (the two TABLESAMPLE scans keep
+    # their own passes by definition: the sampling happens at the
+    # scan). 4 scans -> 3.
+    is_mod = F.pmod("o_orderkey", F.lit(20)) == 0
+    tot_mod = o.agg(
+        F.count(F.lit(1)).alias("total_n"),
+        F.count(F.when(is_mod, 1)).cast("long").alias(
+            "mod_sample_rows"
+        ),
+        F.sum(F.when(is_mod, F.col("o_orderkey")))
+        .cast("long")
+        .alias("mod_sample_keysum"),
+    ).localCheckpoint()
     pct_ok = (
-        pct_n.join(F.broadcast(total_n))
+        pct_n.join(F.broadcast(tot_mod.select("total_n")))
         .select(
             (
                 F.abs(F.col("pct_n") / F.col("total_n") - 0.25) < 0.08
             ).alias("pct_within_bounds")
         )
     )
-    mod = o.where(F.pmod("o_orderkey", F.lit(20)) == 0).agg(
-        F.count(F.lit(1)).cast("long").alias("mod_sample_rows"),
-        F.sum("o_orderkey").cast("long").alias("mod_sample_keysum"),
-    )
+    mod = tot_mod.select("mod_sample_rows", "mod_sample_keysum")
     return rows_n.join(F.broadcast(pct_ok)).join(F.broadcast(mod))
 
 

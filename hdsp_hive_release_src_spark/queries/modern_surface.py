@@ -84,10 +84,15 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts plus a Spark-computed within-5% boolean (lgK=12 gives
     ~1.6% rel. error, well inside)."""
     li = Catalog(spark, sf_dir).lineitem
+    # r13 subtree fix: the union row and the output union both
+    # consumed per_flag, re-running its scan. Five sketch rows —
+    # checkpoint; the only remaining second scan is total_exact's
+    # semantically-necessary cross-flag distinct (the per-flag sets
+    # overlap, so no fold of exact_distinct can replace it).
     per_flag = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
         F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk"),
         F.count_distinct("l_orderkey").alias("exact_distinct"),
-    )
+    ).localCheckpoint()
     total = per_flag.agg(
         F.hll_union_agg("sk").alias("sk"),
         F.sum("exact_distinct").alias("_sum_unused"),

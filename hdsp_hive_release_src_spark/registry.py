@@ -123,6 +123,8 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "two_hop_reach",
     "stratified_ate_gcomputation",
     "abc_pareto_class",
+    "hll_sketch_union",
+    "table_sample_percent_rows",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",

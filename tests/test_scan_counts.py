@@ -438,6 +438,12 @@ RUNTIME_SCANS = {
     # was exempted in the r12 sweep as "two-pass by design" — wrongly:
     # the per-part rollup re-ran for each prefix-sum probe. One scan.
     "abc_pareto_class": {"lineitem": 1},
+    # sketch build + the semantically-necessary cross-flag exact
+    # distinct (per-flag sets overlap; no fold replaces it)
+    "hll_sketch_union": {"lineitem": 2},
+    # two TABLESAMPLE scans (sampling happens AT the scan) + one
+    # conditional aggregate carrying both the total and the mod twin
+    "table_sample_percent_rows": {"orders": 3},
 }
 
 _RUNTIME_TABLES = ("lineitem", "orders", "events", "documents",
