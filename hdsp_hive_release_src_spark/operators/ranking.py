@@ -59,6 +59,15 @@ def with_global_rank(
     row_number semantics: every row gets a UNIQUE rank, ties in
     value_col resolved by the tiebreak columns (RANK/DENSE_RANK
     shared-rank semantics are NOT provided)."""
+    # r13 subtree-audit fix: the operator consumes its input THREE
+    # times (the percentile collect, the per-range count collect, the
+    # ranked output), and chained calls compound — three exact_ntile
+    # calls over one base frame executed its scan 14x at runtime
+    # (rfm_segmentation, measured). Inputs here are always reduced
+    # (per-entity aggregate) frames, so one eager node-sized
+    # materialization makes every probe a read; re-checkpointing an
+    # already-checkpointed frame is one pass over local blocks.
+    df = df.localCheckpoint()
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(
@@ -161,6 +170,10 @@ def range_prefix_sum(
     should be a total order — with ties left unbroken the within-tie
     cumulative order is nondeterministic, exactly as in the SQL
     window it replaces."""
+    # same input-materialization discipline as with_global_rank: the
+    # boundary collect, the partial-sum collect and the output each
+    # consume df
+    df = df.localCheckpoint()
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(

@@ -70,20 +70,28 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table, and a partitionless ntile would be a one-task
     sort at 100 TB. The oracle stays the plain ntile(4) windows."""
     ev = Catalog(spark, sf_dir).events
-    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
-    base = (
-        ev.crossJoin(F.broadcast(anchor))
-        .groupBy("user_id", "mx")
+    # r13 subtree-audit fix: the corpus-max anchor was its own events
+    # pass; the global max equals the max over per-user maxes, so one
+    # user-grain rollup (checkpointed — three ntile calls consume it)
+    # carries everything and events is scanned ONCE (was 14 before the
+    # exact_ntile input-materialization fix, 2 after, 1 now).
+    per_user = (
+        ev.groupBy("user_id")
         .agg(
-            F.datediff(
-                F.col("mx"), F.max(F.col("ts").cast("date"))
-            ).alias("recency_days"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long"))
             .cast("long")
             .alias("monetary_cents"),
         )
-        .drop("mx")
+        .localCheckpoint()
+    )
+    anchor = per_user.agg(F.max("last_d").alias("mx"))
+    base = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("mx"), F.col("last_d")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
     )
     from hdsp_hive_release_src_spark.operators.ranking import (
         exact_ntile,

@@ -125,6 +125,17 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "abc_pareto_class",
     "hll_sketch_union",
     "table_sample_percent_rows",
+    # ranking-operator input materialization (with_global_rank /
+    # exact_ntile / range_prefix_sum checkpoint their input once —
+    # rfm's 14 executed events scans were the worst case; rfm also
+    # folds the anchor into the user-grain rollup)
+    "rfm_segmentation",
+    "histogram_equi_depth",
+    "window_ntile",
+    "gini_concentration_index",
+    "quantile_normalize",
+    "trimmed_mean",
+    "roc_auc_exact",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",

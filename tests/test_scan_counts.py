@@ -367,7 +367,9 @@ RUNTIME_SCANS = {
     "neyman_allocation_sampling": {"orders": 1},
     "quantile_treatment_effect": {"events": 1},
     "seasonal_decompose_additive": {"orders": 1},
-    "share_of_parent_rollup": {"orders": 1},
+    # one orders pass + the customer dimension join (now visible
+    # since customer joined the counted tables)
+    "share_of_parent_rollup": {"orders": 1, "customer": 1},
     # DISK_ONLY-persisted fact projections (PERSISTED_FACT_ROWS):
     # one cache-build pass each; mad_outliers' second pass is the
     # documented second median pass (group medians before deviations)
@@ -444,10 +446,24 @@ RUNTIME_SCANS = {
     # two TABLESAMPLE scans (sampling happens AT the scan) + one
     # conditional aggregate carrying both the total and the mod twin
     "table_sample_percent_rows": {"orders": 3},
+    # ranking-operator callers: with_global_rank/exact_ntile/
+    # range_prefix_sum materialize their input once at entry (the
+    # operator consumes it 3x: two build collects + the output), so
+    # every caller is one fact pass. rfm was the worst: 14 executed
+    # events scans before the operator fix (3 chained ntile calls
+    # compounding), 2 after, 1 once the anchor folded into the
+    # user-grain rollup.
+    "rfm_segmentation": {"events": 1},
+    "histogram_equi_depth": {"orders": 1},
+    "window_ntile": {"customer": 1},
+    "gini_concentration_index": {"orders": 1},
+    "quantile_normalize": {"orders": 1},
+    "trimmed_mean": {"orders": 1},
+    "roc_auc_exact": {"orders": 1},
 }
 
 _RUNTIME_TABLES = ("lineitem", "orders", "events", "documents",
-                   "embeddings", "part")
+                   "embeddings", "part", "customer")
 
 
 @pytest.mark.parametrize("name", sorted(RUNTIME_SCANS))
