@@ -55,8 +55,20 @@ def kmeans(
     """Return (id_col, cluster) assignments after ``iterations`` Lloyd
     rounds, seeded with the ``k`` rows whose md5-hashed id sorts first
     (cid = rank in that hash order)."""
-    n = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    # r13 subtree-audit fix: the seed collect, each iteration's
+    # centroid-update collect and the final assignment each re-ran the
+    # input lineage from parquet (4 executed corpus scans measured for
+    # 3 iterations). The vector table is corpus-sized, so DISK_ONLY
+    # persist per the materialize.py discipline — the standard
+    # iterative-ML input cache; lineage is retained for executor loss.
+    from hdsp_hive_release_src_spark.operators.materialize import (
+        persist_fact_rows,
+    )
+
+    n = persist_fact_rows(
+        vectors.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        )
     )
     seed_rows = (
         n.orderBy(F.md5(F.col("vid").cast("string")), "vid")

@@ -202,10 +202,23 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (operators/asof.py) — DuckDB's native ASOF JOIN is the
     oracle."""
     ev = Catalog(spark, sf_dir).events
-    purchases = ev.where(F.col("event_type") == "purchase").select(
+    # r13 subtree-audit fix: both as-of sides are filters of the SAME
+    # fact table, so the tagged union executed two full events scans.
+    # One narrow two-type projection persists DISK_ONLY (fact-row
+    # tier); each side is a cache read.
+    from hdsp_hive_release_src_spark.operators.materialize import (
+        persist_fact_rows,
+    )
+
+    both = persist_fact_rows(
+        ev.where(F.col("event_type").isin("purchase", "view")).select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+    )
+    purchases = both.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )
-    views = ev.where(F.col("event_type") == "view").select(
+    views = both.where(F.col("event_type") == "view").select(
         F.col("user_id"),
         F.col("event_id").alias("view_event_id"),
         F.col("ts").alias("view_ts"),

@@ -136,6 +136,8 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "quantile_normalize",
     "trimmed_mean",
     "roc_auc_exact",
+    "kmeans_clusters",
+    "asof_join_events_orders",
     "q11_important_parts",
     "mad_outliers",
     "funnel_windowed_strict",

@@ -460,6 +460,12 @@ RUNTIME_SCANS = {
     "quantile_normalize": {"orders": 1},
     "trimmed_mean": {"orders": 1},
     "roc_auc_exact": {"orders": 1},
+    # iterative-ML input persisted DISK_ONLY: seed collect + per-round
+    # centroid collects + the final assignment all read the cache
+    "kmeans_clusters": {"embeddings": 1},
+    # both as-of sides filter one fact table; the two-type projection
+    # persists and each side is a cache read
+    "asof_join_events_orders": {"events": 1},
 }
 
 _RUNTIME_TABLES = ("lineitem", "orders", "events", "documents",
