@@ -28,6 +28,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+def _spread(ss: list[float]) -> float:
+    """Ratio of the two BEST shots (noise metric): min-of-N is the
+    reported number, so the artifact is noisy exactly when even the
+    two best measurements of one query disagree > 1.5× — a cold first
+    shot with two agreeing warm shots is systematic warmup, not
+    noise."""
+    good = sorted(s for s in ss if s > 0)[:2]
+    return good[1] / good[0] if len(good) == 2 and good[0] > 0 else 1.0
+
+
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -84,20 +94,35 @@ def main() -> None:
 
     # two timed runs per query, keep the best: one-shot numbers at
     # second-scale wall-clocks carry ±30% scheduler/GC noise on a
-    # shared box; min-of-2 reports the query's actual cost
+    # shared box; min-of-2 reports the query's actual cost. r14
+    # (verdict item 2): every shot is RECORDED ("shots"), not just the
+    # best — BENCH_r13 shipped box-noise-inflated numbers that needed
+    # judge re-measurement; per-shot arrays plus the pre/post probe
+    # pair make a bad box state visible in the artifact itself.
     timings: dict[str, float] = {}
+    shots: dict[str, list[float]] = {}
     for name in HEADLINERS:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        best, n = float("inf"), 0
+        n = 0
+        shots[name] = []
         for _ in range(2):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            shots[name].append(round(time.time() - t0, 3))
+        if _spread(shots[name]) > 1.5:
+            # adaptive confirming shot: a cold first shot (page cache,
+            # lazy JIT tails) is systematic, not box noise — one more
+            # shot resolves it; only a box that STAYS spread flags
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            shots[name].append(round(time.time() - t0, 3))
+        timings[name] = min(shots[name])
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    calibration_post_s = _calibration(spark)
+    print(f"# calibration post: {calibration_post_s}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -109,7 +134,9 @@ def main() -> None:
         # resolved heap recorded IN the bench record (not just stderr)
         # so machine-state-dependent timings are explainable per round
         "driver_memory": driver_mem,
+        "shots": shots,
         "calibration_s": calibration_s,
+        "calibration_post_s": calibration_post_s,
         # r8 verdict item 5: normalize the round-over-round trend by
         # the fixed-cost probe so ±20-30% box-state noise (which moves
         # probe and headliners together) separates from real plan
@@ -120,6 +147,20 @@ def main() -> None:
             round(total / calibration_s, 2) if calibration_s else None
         ),
     }
+    # r14 in-band noise adjudication: the artifact itself says when it
+    # was taken on a bad box — shot spread > 1.5× on any query, or the
+    # pre/post calibration pair drifting > 1.5×, means the numbers
+    # need a re-run, not a judge investigation
+    noisy_queries = sorted(
+        q for q, ss in shots.items() if _spread(ss) > 1.5
+    )
+    probe_pair = [calibration_s, calibration_post_s]
+    probe_drift = (
+        max(probe_pair) / min(probe_pair) if min(probe_pair) > 0 else 1.0
+    )
+    out["noisy"] = bool(noisy_queries) or probe_drift > 1.5
+    out["noisy_queries"] = noisy_queries
+    out["probe_drift"] = round(probe_drift, 2)
     t_start = globals().get("_T0", time.time())
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     if (
@@ -239,14 +280,30 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     )
     dst = str(Path(__file__).resolve().parent / "_scratch" / "stress10x")
     complete = Path(dst, "_COMPLETE")
-    cached = complete.read_text() if complete.exists() else None
+    # _COMPLETE is JSON {"fingerprint": <source pin>, "layout":
+    # {table: {files, rows, bytes}}} as of r14 (verdict item 3: the
+    # r13 replica rebuild silently changed the physical layout and
+    # moved stress-jaccard 1.8×; the layout is now deterministic —
+    # make_stress hash-partitions every table into a fixed file count
+    # — and pinned here + in the BENCH record). A pre-r14 raw-string
+    # _COMPLETE fails the parse and forces one rebuild.
+    cached = None
+    if complete.exists():
+        try:
+            cached = json.loads(complete.read_text())["fingerprint"]
+        except (ValueError, KeyError):
+            cached = None
     elapsed = time.time() - t_start
     if cached != fingerprint:
         if elapsed > budget * 0.4:
             return {"skipped": f"budget spent ({elapsed:.0f}s elapsed)"}
         shutil.rmtree(dst, ignore_errors=True)
         build(src, dst, 10)
-        complete.write_text(fingerprint)
+        layout = json.loads(Path(dst, "_LAYOUT.json").read_text())
+        complete.write_text(
+            json.dumps({"fingerprint": fingerprint, "layout": layout})
+        )
+    layout = json.loads(complete.read_text())["layout"]
     # Warm the Python worker pool before timing: the first
     # mapInPandas/pandas_udf of a session pays ~8-9 s of worker
     # startup (r8 recorded heavy_hitters_topk at 10.6 s single-shot
@@ -277,6 +334,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     # earlier headline/entry call in the same process (r11 ADVICE).
     components.LAST_RUN_ROUNDS = None
     timings: dict[str, float] = {}
+    shots: dict[str, list[float]] = {}
     rows_per_sec: dict[str, float] = {}
     overrides = _stress_overrides()
     for name in STRESS_QUERIES:
@@ -285,12 +343,14 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         # out-of-band adjudication — semantic_dedup shipped 13.5 s in
         # BENCH_r11 on code unchanged since r6; idle-box re-reads were
         # 4.0-5.4 s). Budget rule: a query is either best-of-2 or cut
-        # (-1.0) — never a shipped single-shot number.
+        # (-1.0) — never a shipped single-shot number. r14: every shot
+        # recorded ("shots"), spread feeds the in-band noisy flag.
         if time.time() - t_start > budget:
             timings[name] = -1.0  # budget cut — visible, not silent
             continue
         fn = overrides.get(name, registry.QUERIES[name])
         best, n = float("inf"), 0
+        shots[name] = []
         for shot in range(2):
             # isolate each timing from the previous queries' leftover
             # cached plans: stress queries that persist (label
@@ -303,6 +363,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             t0 = time.time()
             n = fn(spark, dst).count()
             shot_s = time.time() - t0
+            shots[name].append(round(shot_s, 3))
             best = min(best, shot_s)
             if shot == 0 and time.time() - t_start + shot_s > budget:
                 # can't afford the confirming shot — cut the query
@@ -312,6 +373,19 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
                       f"2nd shot; 1st was {shot_s:.1f}s)",
                       file=sys.stderr)
                 break
+        if (
+            best > 0
+            and _spread(shots[name]) > 1.5
+            and time.time() - t_start + best < budget
+        ):
+            # adaptive confirming shot, same rationale as the headline
+            # tier: only a spread that SURVIVES a third shot is noise
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = fn(spark, dst).count()
+            shot_s = time.time() - t0
+            shots[name].append(round(shot_s, 3))
+            best = min(best, shot_s)
         timings[name] = round(best, 3)
         # output rate in-band: the clone-saturated replica makes the
         # dedup family output-bound (every embedding has 9 verbatim
@@ -321,20 +395,39 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             rows_per_sec[name] = round(n / timings[name], 1)
             print(f"# stress10x {name}: {timings[name]}s ({n} rows)",
                   file=sys.stderr)
+    stress_calibration_post_s = _calibration(spark, runs=3)
+    print(f"# stress calibration post: {stress_calibration_post_s}s",
+          file=sys.stderr)
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    noisy_queries = sorted(
+        q for q, ss in shots.items() if _spread(ss) > 1.5
+    )
+    probe_pair = [stress_calibration_s, stress_calibration_post_s]
+    probe_drift = (
+        max(probe_pair) / min(probe_pair) if min(probe_pair) > 0 else 1.0
+    )
     out = {
         "sf_equivalent": 1.0,
         "unit": "sec",
         "queries": timings,
+        "shots": shots,
         "overrides": STRESS_OVERRIDE_TAGS,
         "output_rows_per_sec": rows_per_sec,
         "value": total,
+        # the replica's pinned physical layout (verdict item 3): a
+        # stress movement with an unchanged layout block is code or
+        # box, never data
+        "layout": layout,
         "stress_calibration_s": stress_calibration_s,
+        "stress_calibration_post_s": stress_calibration_post_s,
         "stress_per_calibration": (
             round(total / stress_calibration_s, 2)
             if stress_calibration_s
             else None
         ),
+        "noisy": bool(noisy_queries) or probe_drift > 1.5,
+        "noisy_queries": noisy_queries,
+        "probe_drift": round(probe_drift, 2),
     }
     # Realized star-components round count — a convergence regression
     # (e.g. a canonicalization bug doubling rounds) shows up in-band

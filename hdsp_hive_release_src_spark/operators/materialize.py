@@ -40,3 +40,91 @@ def persist_fact_rows(df: DataFrame) -> DataFrame:
     """DISK_ONLY-persist a fact-row-count intermediate (see module
     docstring for why this is never localCheckpoint)."""
     return df.persist(StorageLevel.DISK_ONLY)
+
+
+# ---------------------------------------------------------------------------
+# Automatic tier selection (r13 advice): operators that materialize a
+# CALLER-supplied frame (operators/ranking.py) cannot trust a comment
+# that "inputs are always reduced" — two call sites already pass full
+# fact-row orders projections. The tier is therefore derived from the
+# optimized logical plan: a frame is *reduced-rooted* iff every path
+# from the root to a leaf passes through a row-bounding node
+# (Aggregate / Deduplicate / Limit) or ends in an already-materialized
+# reduced frame (LogicalRDD — under this discipline only reduced
+# frames are ever localCheckpointed, so a checkpoint leaf IS a prior
+# reduced materialization) or a literal LocalRelation, crossing only
+# row-preserving operators (Project/Filter/Sort/Window/...). Joins are
+# reduced only if EVERY child is — a fact scan on any input makes the
+# whole frame fact-tier. Unknown node types classify as fact: the
+# failure mode of a wrong "fact" call is a cheap DISK_ONLY persist of
+# a small table; the failure mode of a wrong "reduced" call is a
+# fact-row localCheckpoint on non-reliable executor-local storage.
+
+# same row count (or fewer, for Filter/Sample) as their single child —
+# classification passes through
+_ROW_PRESERVING = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Sort",
+        "Window",
+        "WindowGroupLimit",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "ResolvedHint",
+        "UnresolvedHint",
+        "Sample",
+        "SubqueryAlias",
+    }
+)
+
+# row count bounded independently of any fact table beneath
+_REDUCING = frozenset(
+    {"Aggregate", "Deduplicate", "GlobalLimit", "LocalLimit"}
+)
+
+# leaves that are reduced by construction (literals, one-row, or a
+# prior reduced-tier localCheckpoint)
+_REDUCED_LEAVES = frozenset(
+    {"LocalRelation", "OneRowRelation", "OneRowRelation$", "LogicalRDD"}
+)
+
+
+def _node_reduced(plan) -> bool:
+    name = plan.getClass().getSimpleName()
+    if name in _REDUCING or name in _REDUCED_LEAVES:
+        return True
+    if name in _ROW_PRESERVING:
+        return _node_reduced(plan.children().apply(0))
+    if name == "Join":
+        kids = plan.children()
+        return all(
+            _node_reduced(kids.apply(i)) for i in range(kids.size())
+        )
+    # file relations, Generate, Union, Expand, InMemoryRelation,
+    # Range, anything new: fact tier
+    return False
+
+
+def is_reduced_rooted(df: DataFrame) -> bool:
+    """True iff the frame's optimized logical plan proves its row count
+    is bounded by aggregation/limits, not by a fact table (see the
+    tier comment above). Classic/local mode; anything that prevents
+    plan inspection classifies as fact — the safe tier."""
+    try:
+        return _node_reduced(df._jdf.queryExecution().optimizedPlan())
+    except Exception:
+        return False
+
+
+def materialize_input(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer operator INPUT in the tier the
+    plan proves safe: reduced-rooted frames localCheckpoint (eager,
+    node-sized, lineage cut is fine); everything else DISK_ONLY
+    persists — lineage retained, so at the 100 TB design point an
+    executor loss recomputes blocks instead of killing the query.
+    The persist is lazy; the operator's first action builds it."""
+    if is_reduced_rooted(df):
+        return df.localCheckpoint()
+    return persist_fact_rows(df)

@@ -45,6 +45,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdsp_hive_release_src_spark.operators.materialize import (
+    materialize_input,
+)
+
 
 def with_global_rank(
     df: DataFrame,
@@ -63,11 +67,12 @@ def with_global_rank(
     # times (the percentile collect, the per-range count collect, the
     # ranked output), and chained calls compound — three exact_ntile
     # calls over one base frame executed its scan 14x at runtime
-    # (rfm_segmentation, measured). Inputs here are always reduced
-    # (per-entity aggregate) frames, so one eager node-sized
-    # materialization makes every probe a read; re-checkpointing an
-    # already-checkpointed frame is one pass over local blocks.
-    df = df.localCheckpoint()
+    # (rfm_segmentation, measured). One materialization makes every
+    # probe a read. r14: the tier is derived from the input's plan,
+    # not trusted — reduced (aggregate-rooted) frames localCheckpoint,
+    # fact-row projections (histogram_equi_depth, trimmed_mean) get
+    # DISK_ONLY persist so lineage survives executor loss.
+    df = materialize_input(df)
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(
@@ -172,8 +177,9 @@ def range_prefix_sum(
     window it replaces."""
     # same input-materialization discipline as with_global_rank: the
     # boundary collect, the partial-sum collect and the output each
-    # consume df
-    df = df.localCheckpoint()
+    # consume df; tier chosen from the plan (reduced → localCheckpoint,
+    # fact rows → DISK_ONLY persist)
+    df = materialize_input(df)
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(

@@ -54,8 +54,11 @@ def executed_scans(
     # match the dataset PATH token, not the bare name: a bare
     # substring also matches column names in checkpoint-RDD leaves
     # (a column called n_events made a weekday query count 3 "events
-    # scans" when the real file was read once)
-    token = table if table.endswith(".parquet") else f"{table}.parquet"
+    # scans" when the real file was read once), and an unanchored
+    # "<table>.parquet" still matches any dataset whose directory name
+    # merely ENDS with the table name (raw_events.parquet would count
+    # as events) — so anchor on the path separator (r13 advice)
+    token = table if table.endswith(".parquet") else f"/{table}.parquet"
     for i in range(lst.size()):
         exec_data = lst.apply(i)
         eid = exec_data.executionId()

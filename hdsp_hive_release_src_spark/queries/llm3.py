@@ -102,11 +102,19 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", to_double("embedding").alias("v")
     )
-    assign = kmeans(e, id_col="vec_id", vec_col="v")
-    return (
-        assign.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .orderBy("cluster")
+    # the per-cluster rollup runs as kmeans' finalize so the operator
+    # can release its corpus-sized DISK_ONLY cache before returning
+    # (r13 advice: no session-lifetime persist leak) while keeping the
+    # pinned single executed embeddings scan
+    return kmeans(
+        e,
+        id_col="vec_id",
+        vec_col="v",
+        finalize=lambda a: (
+            a.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("cluster")
+        ),
     )
 
 

@@ -58,94 +58,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 13 (advice items + the new RUNTIME executed-scan audit,
-# tests/test_scan_counts.py::RUNTIME_SCANS):
-# - q11: the global threshold is now a 1-row broadcast joined back to
-#   the checkpointed per-part aggregate — no driver collect, the
-#   comparison never leaves the engine.
-# - five fact-ROW-sized intermediates moved from localCheckpoint to
-#   persist(DISK_ONLY) (operators/materialize.py: fact rows on
-#   non-reliable local storage die with their executor; persist keeps
-#   lineage). cohort_ltv also re-planned: window-MIN first-week
-#   replaces the groupBy+self-join (2 scans -> 1).
-# - semantic_dedup: the distinct-vector group table is materialized
-#   once (4 executed corpus scans -> 2); ann_product_quantization:
-#   one exploded multi-query scoring pass over the codes table
-#   (5 executed -> 3). Values identical everywhere; all eight
-#   re-verified at both scales.
+# round 14: the registry is frozen and r13's 46 re-plans all landed
+# green (CORRECTNESS_r13 50/50), so this round carries ~zero changed
+# names — the entire window goes to the r1/r2 certification staleness
+# tail (36 r1 + 34 r2 names whose latest driver rows predate the r4
+# testdata migration and r8 canonicalization hardening; all 70
+# re-verified locally in tools/STALE_COHORT_RECHECK_r13.json but the
+# driver record is the grade). Names appear below only if this
+# round's hardening changed their physical plan.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r13 verdict item 1: the triangle close is now an equi semi-join
-    # (union of both edge orientations) and the corners explode in one
-    # pass — the wedge subtree runs once; values identical.
-    "triangle_clustering_coeff",
-    # r13 verdict item 2 (subtree sweep): re-executed plan subtrees
-    # re-planned — BFS and topo-layering checkpoint each node-sized
-    # frontier (the two-consumer loop doubled the plan per round);
-    # ks checkpoints the grid-sized gap table; kl checkpoints the
-    # vocab aggregate. Values identical everywhere.
-    "shortest_path_bfs",
-    "topo_sort_layers",
-    "ks_two_sample",
-    "kl_divergence_drift",
-    # ... and the full-registry subtree sweep's 32 further re-plans:
-    # multi-consumer reduced tables (degree/vocab/grid/stratum-sized)
-    # checkpointed once, two window-rewrites (per-group totals folded
-    # into the same pass), one DISK_ONLY persist (rake's token rows),
-    # semantic_dedup's cell cap as a checkpointed keep-list semi-join.
-    "pagerank_trade_graph",
-    "hits_hub_authority",
-    "lorenz_curve_deciles",
-    "source_centroid_cosine",
-    "association_rules_lift",
-    "cosupply_bipartite_projection",
-    "autocorr_daily_events",
-    "ewma_halving_window",
-    "benford_distribution",
-    "ra_link_prediction",
-    "binseg_changepoint_gain",
-    "boilerplate_position_bias",
-    "char_entropy_filter",
-    "degree_assortativity",
-    "zipf_rank_frequency",
-    "jensen_shannon_drift",
-    "cusum_drift_detection",
-    "kmv_distinct_estimate",
-    "kmv_set_operations",
-    "largest_remainder_allocation",
-    "mixture_weights",
-    "mom_waterfall_contribution",
-    "neyman_allocation_sampling",
-    "pca_power_iteration_exact",
-    "rake_keyword_phrases",
-    "supplier_concentration_hhi",
-    "weekday_seasonality_index",
-    "theil_index_inequality",
-    "two_hop_reach",
-    "stratified_ate_gcomputation",
-    "abc_pareto_class",
-    "hll_sketch_union",
-    "table_sample_percent_rows",
-    # ranking-operator input materialization (with_global_rank /
-    # exact_ntile / range_prefix_sum checkpoint their input once —
-    # rfm's 14 executed events scans were the worst case; rfm also
-    # folds the anchor into the user-grain rollup)
-    "rfm_segmentation",
+    # r14 verdict item 4 / ADVICE: operators/ranking.py derives its
+    # input-materialization tier from the optimized plan
+    # (materialize.is_reduced_rooted) instead of trusting a comment —
+    # non-aggregate-rooted inputs now persist(DISK_ONLY) rather than
+    # localCheckpoint. These four callers pass scan-rooted inputs
+    # (orders / customer projections), so their materialization tier —
+    # and physical plan — changed; values identical.
     "histogram_equi_depth",
-    "window_ntile",
-    "gini_concentration_index",
-    "quantile_normalize",
     "trimmed_mean",
-    "roc_auc_exact",
+    "window_ntile",
+    "quantile_normalize",
+    # r13 advice: kmeans releases its corpus-sized DISK_ONLY cache via
+    # an in-operator finalize (per-cluster rollup eagerly checkpointed,
+    # then unpersist) — still exactly one executed embeddings scan, but
+    # the plan the driver sees is now checkpoint-rooted.
     "kmeans_clusters",
-    "asof_join_events_orders",
-    "q11_important_parts",
-    "mad_outliers",
-    "funnel_windowed_strict",
-    "table_diff_reconcile",
-    "conformal_prediction_interval",
-    "cohort_ltv_matrix",
-    "semantic_dedup",
-    "ann_product_quantization",
 )
 
 # Empty as of r11: every registered query now has a driver correctness

@@ -1,0 +1,193 @@
+"""The materialization-tier guard (r13 advice / r14 verdict item 4):
+operators/ranking.py must not trust callers to pass reduced frames —
+the tier is derived from the optimized logical plan. Fact-row-sized
+inputs get DISK_ONLY persist (lineage retained — survives executor
+loss at the 100 TB design point); reduced (aggregate-rooted) inputs
+keep the cheap eager localCheckpoint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from hdsp_hive_release_src_spark.operators.materialize import (
+    is_reduced_rooted,
+    materialize_input,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+class TestClassifier:
+    def test_fact_projection_is_fact(self, spark, sf_dir):
+        df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
+        assert not is_reduced_rooted(df)
+
+    def test_filtered_scan_is_fact(self, spark, sf_dir):
+        # a filter bounds nothing provably — scan-rooted stays fact
+        df = _orders(spark, sf_dir).where(F.col("o_orderkey") < 100)
+        assert not is_reduced_rooted(df)
+
+    def test_aggregate_is_reduced(self, spark, sf_dir):
+        df = (
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        assert is_reduced_rooted(df)
+
+    def test_projection_over_aggregate_is_reduced(self, spark, sf_dir):
+        df = (
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+            .select("o_custkey", (F.col("s") * 2).alias("s2"))
+            .where(F.col("s2") > 0)
+        )
+        assert is_reduced_rooted(df)
+
+    def test_limit_is_reduced(self, spark, sf_dir):
+        assert is_reduced_rooted(_orders(spark, sf_dir).limit(10))
+
+    def test_checkpoint_leaf_is_reduced(self, spark, sf_dir):
+        # a localCheckpoint leaf is, under the discipline, a PRIOR
+        # reduced materialization — chained operator calls (rfm's
+        # three exact_ntiles) must keep the cheap tier
+        ck = (
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("d"))
+            .localCheckpoint()
+        )
+        assert is_reduced_rooted(ck)
+        anchor = ck.agg(F.max("d").alias("mx"))
+        joined = ck.crossJoin(F.broadcast(anchor))
+        assert is_reduced_rooted(joined)
+
+    def test_join_with_fact_side_is_fact(self, spark, sf_dir):
+        o = _orders(spark, sf_dir)
+        agg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        assert not is_reduced_rooted(agg.join(o, "o_custkey"))
+
+    def test_explode_is_fact(self, spark, sf_dir):
+        # Generate multiplies rows — never reduced, even over an agg
+        df = (
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.collect_list("o_orderkey").alias("ks"))
+            .select("o_custkey", F.explode("ks").alias("k"))
+        )
+        assert not is_reduced_rooted(df)
+
+
+class TestTierRouting:
+    def test_fact_frame_gets_disk_only_not_checkpoint(
+        self, spark, sf_dir
+    ):
+        # the verdict's done-criterion: a fact-row-sized frame must
+        # come back DISK_ONLY-persisted with lineage retained, NOT
+        # localCheckpointed (non-reliable storage, severed lineage)
+        df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
+        out = materialize_input(df)
+        try:
+            assert out.storageLevel == StorageLevel.DISK_ONLY
+            # localCheckpoint rewrites the plan to an RDD-scan leaf;
+            # a persist must keep the original lineage
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "LogicalRDD" not in plan
+        finally:
+            out.unpersist()
+
+    def test_reduced_frame_gets_checkpoint(self, spark, sf_dir):
+        df = (
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        out = materialize_input(df)
+        # localCheckpoint leaves no persistent storage level but
+        # rewrites the plan to an RDD leaf
+        assert out.storageLevel == StorageLevel.NONE
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan
+
+    def test_ranking_routes_fact_input_to_persist(self, spark, sf_dir):
+        from hdsp_hive_release_src_spark.operators.ranking import (
+            with_global_rank,
+        )
+
+        df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
+        ranked, total = with_global_rank(
+            df, "o_totalprice", ["o_orderkey"], rank_col="rnk"
+        )
+        assert total == df.count()
+        # the materialized input appears as an InMemoryRelation (persist)
+        # in the ranked plan, never as a checkpoint RDD leaf
+        plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        assert "LogicalRDD" not in plan
+        assert "disk" in plan.lower()
+
+
+def _disk_only_rdd_count(spark) -> int:
+    # localCheckpoint legitimately registers MEMORY_AND_DISK entries
+    # (the reduced-tier discipline); the leak class under test is the
+    # corpus-sized DISK_ONLY persist surviving the operator call
+    sc = spark.sparkContext._jsc.sc()
+    rdds = sc.getPersistentRDDs()
+    it = rdds.values().iterator()
+    n = 0
+    while it.hasNext():
+        lvl = it.next().getStorageLevel()
+        if (
+            lvl.useDisk()
+            and not lvl.useMemory()
+            and not lvl.useOffHeap()
+        ):
+            n += 1
+    return n
+
+
+class TestKmeansCacheRelease:
+    def test_kmeans_releases_corpus_cache(self, spark, sf_dir):
+        # r13 advice: no session-lifetime DISK_ONLY leak per kmeans()
+        # call — with finalize, the reduced result is built off the
+        # cache and the cache is released before returning
+        from hdsp_hive_release_src_spark.functions.vectors import (
+            to_double,
+        )
+        from hdsp_hive_release_src_spark.operators.kmeans import kmeans
+
+        before = _disk_only_rdd_count(spark)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", to_double("embedding").alias("v")
+        )
+        out = kmeans(
+            e,
+            finalize=lambda a: a.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
+        assert out.count() > 0
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before
+
+    def test_kmeans_default_path_releases_cache(self, spark, sf_dir):
+        from hdsp_hive_release_src_spark.functions.vectors import (
+            to_double,
+        )
+        from hdsp_hive_release_src_spark.operators.kmeans import kmeans
+
+        before = _disk_only_rdd_count(spark)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", to_double("embedding").alias("v")
+        )
+        out = kmeans(e)
+        # lineage retained by DISK_ONLY: the post-release read
+        # recomputes from the parquet scan and still returns all rows
+        assert out.count() == e.count()
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before

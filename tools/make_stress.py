@@ -11,18 +11,37 @@ clone-saturated worst case instead of 10× scale (that worst case has
 its own measurement in SURVEY §4). Embeddings replicate as-is: ANN
 cost depends on corpus size, not vector uniqueness.
 
+The physical LAYOUT of the replica is deterministic (r13 verdict
+item 3: stress-jaccard moved 2.26 → 4.0 s across a replica rebuild
+with query code untouched — the unpinned write layout was the only
+changed input). Every table is hash-repartitioned on its primary id
+into exactly N_FILES output files, so (a) two builds from the same
+source place the same rows in the same files, and (b) the scan
+parallelism the stress tier sees never silently drops (the r13
+rebuild produced 10 files per table — one per union branch — which
+underparallelizes a 32-thread local run; the ~600 KB documents files
+additionally pack into even fewer tasks via
+spark.sql.files.openCostInBytes). Per-table {files, rows, bytes} is
+written to ``_LAYOUT.json`` in the destination; bench.py embeds it in
+the BENCH record so any future layout drift is visible in-band.
+
 Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [n_replicas]
 Defaults: /root/testdata/sf0.1 → <repo>/_scratch/stress10x, 10.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 OFF = 100_000_000
+
+# one file per local core at the stress tier's local[32]; at cluster
+# scale this knob would be sized by target file size instead
+N_FILES = 32
 
 ID_COLS = {
     "region": ["r_regionkey"],
@@ -64,10 +83,26 @@ def build(src: str, dst: str, n: int = 10) -> None:
         out = replicas[0]
         for rep in replicas[1:]:
             out = out.unionByName(rep)
-        out.write.mode("overwrite").parquet(
-            f"{dst.rstrip('/')}/{t}.parquet"
-        )
+        # deterministic layout: hash-partition on the primary id (the
+        # first ID col — offset ids are deterministic), fixed file
+        # count (see N_FILES comment)
+        pk = ID_COLS[t][0]
+        out.repartition(N_FILES, F.col(pk)).write.mode(
+            "overwrite"
+        ).parquet(f"{dst.rstrip('/')}/{t}.parquet")
         print(f"wrote {t}", file=sys.stderr)
+    layout = {}
+    for t in TABLES:
+        d = Path(dst) / f"{t}.parquet"
+        files = sorted(d.glob("*.parquet"))
+        layout[t] = {
+            "files": len(files),
+            "bytes": sum(f.stat().st_size for f in files),
+            "rows": spark.read.parquet(str(d)).count(),
+        }
+    (Path(dst) / "_LAYOUT.json").write_text(
+        json.dumps(layout, indent=1, sort_keys=True)
+    )
 
 
 if __name__ == "__main__":

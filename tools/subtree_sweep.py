@@ -24,8 +24,8 @@ Known-legitimate repeats are exempted with a reason below — the
 checkpoint IS the leaf); what this catches is the `tri`-style union
 off a live join (queries/graph.py's r12 shape, fixed in r13).
 
-Usage: PYTHONPATH=/root/repo python tools/subtree_sweep.py [sf_dir]
-Writes tools/SUBTREE_SWEEP_r13.json (one entry per query:
+Usage: PYTHONPATH=/root/repo python tools/subtree_sweep.py [sf] [round]
+Writes tools/SUBTREE_SWEEP_r{round}.json (one entry per query:
 clean / flagged / exempt / unplannable).
 """
 
@@ -206,6 +206,7 @@ def main() -> None:
     from hdsp_hive_release_src_spark.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    rnd = sys.argv[2] if len(sys.argv) > 2 else "14"
     spark = get_spark(app_name="subtree_sweep", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
@@ -243,12 +244,12 @@ def main() -> None:
             entries[name] = {"status": "clean"}
     print(f"# done: {n_flagged} queries with repeated expensive subtrees")
     out = {
-        "round": 13,
+        "round": int(rnd),
         "n_queries": len(entries),
         "n_flagged": n_flagged,
         "entries": entries,
     }
-    with open("tools/SUBTREE_SWEEP_r13.json", "w") as f:
+    with open(f"tools/SUBTREE_SWEEP_r{rnd}.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
 
