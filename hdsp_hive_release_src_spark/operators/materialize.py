@@ -118,13 +118,20 @@ def is_reduced_rooted(df: DataFrame) -> bool:
         return False
 
 
-def materialize_input(df: DataFrame) -> DataFrame:
+def materialize_input(df: DataFrame):
     """Materialize a multi-consumer operator INPUT in the tier the
     plan proves safe: reduced-rooted frames localCheckpoint (eager,
     node-sized, lineage cut is fine); everything else DISK_ONLY
     persists — lineage retained, so at the 100 TB design point an
     executor loss recomputes blocks instead of killing the query.
-    The persist is lazy; the operator's first action builds it."""
+    The persist is lazy; the operator's first action builds it.
+
+    Returns ``(df, release)``. ``release()`` drops the persist-tier
+    cache once every consumer has been materialized (kmeans-style
+    session hygiene — see operators/kmeans.py); it is a NO-OP for the
+    checkpoint tier, whose blocks ARE the data (lineage severed —
+    unpersisting them would lose the frame, not just the cache)."""
     if is_reduced_rooted(df):
-        return df.localCheckpoint()
-    return persist_fact_rows(df)
+        return df.localCheckpoint(), (lambda: None)
+    out = persist_fact_rows(df)
+    return out, (lambda: out.unpersist(blocking=False) and None)

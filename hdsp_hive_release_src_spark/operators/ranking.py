@@ -57,12 +57,22 @@ def with_global_rank(
     descending: bool = False,
     n_ranges: int = 32,
     rank_col: str = "rank",
+    finalize=None,
 ) -> tuple[DataFrame, int]:
     """Return (df + exact 1-based global rank column, total row
     count) for the order (value_col [DESC], *tiebreak_cols ASC).
     row_number semantics: every row gets a UNIQUE rank, ties in
     value_col resolved by the tiebreak columns (RANK/DENSE_RANK
-    shared-rank semantics are NOT provided)."""
+    shared-rank semantics are NOT provided).
+
+    ``finalize``: optional ``(ranked: DataFrame, total: int) ->
+    DataFrame`` reduction the caller would apply to the ranked frame.
+    When given AND its result is provably reduced, the result is
+    eagerly localCheckpointed INSIDE the operator (reading the input
+    materialization once) and a persist-tier input cache is released
+    before returning — the kmeans-style no-session-leak shape at the
+    pinned single executed scan. A non-reduced finalize result is
+    returned lazily and the cache kept (the safe default)."""
     # r13 subtree-audit fix: the operator consumes its input THREE
     # times (the percentile collect, the per-range count collect, the
     # ranked output), and chained calls compound — three exact_ntile
@@ -72,7 +82,7 @@ def with_global_rank(
     # not trusted — reduced (aggregate-rooted) frames localCheckpoint,
     # fact-row projections (histogram_equi_depth, trimmed_mean) get
     # DISK_ONLY persist so lineage survives executor loss.
-    df = materialize_input(df)
+    df, release = materialize_input(df)
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(
@@ -120,7 +130,30 @@ def with_global_rank(
             + F.element_at(off_map, F.col("__rid"))
         ).cast("long"),
     ).drop("__rid")
+    if finalize is not None:
+        out = finalize(ranked, total)
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            is_reduced_rooted,
+        )
+
+        if is_reduced_rooted(out):
+            out = out.localCheckpoint()
+            release()
+        return out, total
     return ranked, total
+
+
+def _ntile_bucket(total: int, n_buckets: int) -> Column:
+    """SQL ntile bucket from the __rank column (first ``total mod
+    n_buckets`` buckets carry one extra row)."""
+    q, r = divmod(total, n_buckets)
+    rank = F.col("__rank")
+    if q == 0:
+        return rank
+    head = (q + 1) * r  # first r buckets carry q+1 rows each
+    return F.when(rank <= head, F.ceil(rank / (q + 1))).otherwise(
+        r + F.ceil((rank - head) / q)
+    )
 
 
 def exact_ntile(
@@ -131,24 +164,33 @@ def exact_ntile(
     descending: bool = False,
     n_ranges: int = 32,
     bucket_col: str = "bucket",
+    finalize=None,
 ) -> DataFrame:
     """df + ``bucket_col`` holding exact SQL ``ntile(n_buckets) OVER
-    (ORDER BY value [DESC], tiebreaks)`` — without the global window."""
-    ranked, total = with_global_rank(
-        df, value_col, tiebreak_cols, descending, n_ranges, "__rank"
+    (ORDER BY value [DESC], tiebreaks)`` — without the global window.
+
+    ``finalize``: optional ``DataFrame -> DataFrame`` reduction over
+    the bucketed frame, forwarded to with_global_rank's cache-release
+    path (see its docstring)."""
+
+    def bucketed(ranked: DataFrame, total: int) -> DataFrame:
+        out = ranked.withColumn(
+            bucket_col, _ntile_bucket(total, n_buckets).cast("long")
+        ).drop("__rank")
+        return finalize(out) if finalize is not None else out
+
+    out, _total = with_global_rank(
+        df,
+        value_col,
+        tiebreak_cols,
+        descending,
+        n_ranges,
+        "__rank",
+        finalize=bucketed if finalize is not None else None,
     )
-    q, r = divmod(total, n_buckets)
-    rank = F.col("__rank")
-    if q == 0:
-        bucket = rank
-    else:
-        head = (q + 1) * r  # first r buckets carry q+1 rows each
-        bucket = F.when(
-            rank <= head, F.ceil(rank / (q + 1))
-        ).otherwise(r + F.ceil((rank - head) / q))
-    return ranked.withColumn(
-        bucket_col, bucket.cast("long")
-    ).drop("__rank")
+    if finalize is not None:
+        return out
+    return bucketed(out, _total)
 
 
 def range_prefix_sum(
@@ -178,8 +220,9 @@ def range_prefix_sum(
     # same input-materialization discipline as with_global_rank: the
     # boundary collect, the partial-sum collect and the output each
     # consume df; tier chosen from the plan (reduced → localCheckpoint,
-    # fact rows → DISK_ONLY persist)
-    df = materialize_input(df)
+    # fact rows → DISK_ONLY persist; every current caller passes a
+    # reduced frame, so no release path is needed here)
+    df, _release = materialize_input(df)
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(

@@ -119,21 +119,27 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdsp_hive_release_src_spark.operators.ranking import exact_ntile
 
     o = Catalog(spark, sf_dir).orders
-    return (
-        exact_ntile(
-            o.select("o_totalprice", "o_orderkey"),
-            "o_totalprice",
-            ["o_orderkey"],
-            n_buckets=10,
-        )
-        .select("o_totalprice", F.col("bucket").cast("int").alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-        )
-        .orderBy("bucket")
+    # the 10-row rollup runs as exact_ntile's finalize so the operator
+    # can release its fact-row DISK_ONLY input cache before returning
+    # (kmeans-style hygiene, r14) at the pinned 1 executed orders scan
+    return exact_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        n_buckets=10,
+        finalize=lambda b: (
+            b.select(
+                "o_totalprice",
+                F.col("bucket").cast("int").alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("o_totalprice"), 2).alias("lo"),
+                F.round(F.max("o_totalprice"), 2).alias("hi"),
+            )
+            .orderBy("bucket")
+        ),
     )
 
 

@@ -398,27 +398,35 @@ def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = Catalog(spark, sf_dir).orders
-    ranked, total = with_global_rank(
+
+    # the 1-row trim aggregate runs as the operator's finalize so the
+    # fact-row DISK_ONLY input cache is released before returning
+    # (kmeans-style hygiene, r14) at the pinned 1 executed orders scan
+    def trim(ranked: DataFrame, total: int) -> DataFrame:
+        cut = total // 20
+        mid = ranked.where(
+            (F.col("rnk") > cut) & (F.col("rnk") <= total - cut)
+        ).select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        return mid.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.round(
+                F.sum("cents") / 100.0 / F.count(F.lit(1)), 4
+            ).alias("trimmed_mean"),
+        )
+
+    out, _total = with_global_rank(
         o.select("o_orderkey", "o_totalprice"),
         "o_totalprice",
         ["o_orderkey"],
         rank_col="rnk",
+        finalize=trim,
     )
-    cut = total // 20
-    mid = ranked.where(
-        (F.col("rnk") > cut) & (F.col("rnk") <= total - cut)
-    ).select(
-        F.round(F.col("o_totalprice") * 100)
-        .cast("long")
-        .alias("cents")
-    )
-    return mid.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("cents").cast("long").alias("cents_sum"),
-        F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 4).alias(
-            "trimmed_mean"
-        ),
-    )
+    return out
 
 
 @query(

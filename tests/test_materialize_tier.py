@@ -91,7 +91,7 @@ class TestTierRouting:
         # come back DISK_ONLY-persisted with lineage retained, NOT
         # localCheckpointed (non-reliable storage, severed lineage)
         df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
-        out = materialize_input(df)
+        out, release = materialize_input(df)
         try:
             assert out.storageLevel == StorageLevel.DISK_ONLY
             # localCheckpoint rewrites the plan to an RDD-scan leaf;
@@ -99,7 +99,8 @@ class TestTierRouting:
             plan = out._jdf.queryExecution().optimizedPlan().toString()
             assert "LogicalRDD" not in plan
         finally:
-            out.unpersist()
+            release()
+        assert out.storageLevel == StorageLevel.NONE
 
     def test_reduced_frame_gets_checkpoint(self, spark, sf_dir):
         df = (
@@ -107,7 +108,10 @@ class TestTierRouting:
             .groupBy("o_custkey")
             .agg(F.sum("o_totalprice").alias("s"))
         )
-        out = materialize_input(df)
+        out, release = materialize_input(df)
+        # checkpoint-tier release is a no-op: the blocks ARE the data
+        release()
+        assert out.count() > 0
         # localCheckpoint leaves no persistent storage level but
         # rewrites the plan to an RDD leaf
         assert out.storageLevel == StorageLevel.NONE
@@ -130,6 +134,76 @@ class TestTierRouting:
         assert "InMemoryRelation" in plan
         assert "LogicalRDD" not in plan
         assert "disk" in plan.lower()
+
+    def test_ranking_finalize_releases_fact_cache(self, spark, sf_dir):
+        # kmeans-style hygiene: with a reduced finalize, the operator
+        # eagerly builds the reduction off the cache, releases the
+        # DISK_ONLY input persist, and leaves nothing for the session
+        from hdsp_hive_release_src_spark.operators.ranking import (
+            exact_ntile,
+            with_global_rank,
+        )
+
+        # isolate from earlier tests' leftover caches: CacheManager
+        # dedupes identical plans, so a pre-existing cache of the same
+        # projection would make persist a no-op and release drop the
+        # shared entry
+        spark.catalog.clearCache()
+        before = _disk_only_rdd_count(spark)
+        df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
+        out, total = with_global_rank(
+            df,
+            "o_totalprice",
+            ["o_orderkey"],
+            rank_col="rnk",
+            finalize=lambda ranked, tot: ranked.agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
+        assert out.collect()[0]["n"] == total
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before
+
+        nt = exact_ntile(
+            df,
+            "o_totalprice",
+            ["o_orderkey"],
+            n_buckets=4,
+            finalize=lambda b: b.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
+        assert nt.count() == 4
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before
+
+    def test_ranking_finalize_nonreduced_keeps_cache(
+        self, spark, sf_dir
+    ):
+        # a row-per-input finalize result must NOT be checkpointed
+        # (fact-row localCheckpoint is the forbidden tier) — the
+        # operator returns it lazily and keeps the input cache
+        from hdsp_hive_release_src_spark.operators.ranking import (
+            with_global_rank,
+        )
+
+        spark.catalog.clearCache()
+        before = _disk_only_rdd_count(spark)
+        df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
+        out, total = with_global_rank(
+            df,
+            "o_totalprice",
+            ["o_orderkey"],
+            rank_col="rnk",
+            finalize=lambda ranked, tot: ranked.select(
+                "o_orderkey", "rnk"
+            ),
+        )
+        assert out.count() == total
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" not in plan  # not checkpointed
+        assert _disk_only_rdd_count(spark) == before + 1  # cache kept
+        spark.catalog.clearCache()
 
 
 def _disk_only_rdd_count(spark) -> int:
