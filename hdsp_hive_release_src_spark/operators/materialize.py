@@ -118,6 +118,25 @@ def is_reduced_rooted(df: DataFrame) -> bool:
         return False
 
 
+def checkpoint_reduced_and_release(
+    out: DataFrame, *caches: DataFrame
+) -> DataFrame:
+    """Close a query-local persist leak: eagerly localCheckpoint a
+    REDUCED final result (guarded by is_reduced_rooted — the plan must
+    prove it; fact-row frames never localCheckpoint), then release the
+    persist-tier ``caches`` the computation consumed. Executed-scan
+    counts are unchanged: the checkpoint build reads the caches, which
+    the query's collects already built. If ``out`` is not provably
+    reduced, it is returned lazily and the caches are KEPT — dropping
+    them would make the final read re-execute the upstream (the safe
+    default; the caller documents the retained cache instead)."""
+    if is_reduced_rooted(out):
+        out = out.localCheckpoint()
+        for c in caches:
+            c.unpersist(blocking=False)
+    return out
+
+
 def materialize_input(df: DataFrame):
     """Materialize a multi-consumer operator INPUT in the tier the
     plan proves safe: reduced-rooted frames localCheckpoint (eager,

@@ -205,7 +205,11 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 subtree-audit fix: both as-of sides are filters of the SAME
     # fact table, so the tagged union executed two full events scans.
     # One narrow two-type projection persists DISK_ONLY (fact-row
-    # tier); each side is a cache read.
+    # tier); each side is a cache read. r14 note: the output is
+    # row-per-purchase (NOT reduced), so the
+    # checkpoint_reduced_and_release hygiene cannot apply — the
+    # narrow cache stays until clearCache/session end, the documented
+    # trade (releasing it early would re-execute the scan per side).
     from hdsp_hive_release_src_spark.operators.materialize import (
         persist_fact_rows,
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.operators.materialize import (
+    checkpoint_reduced_and_release,
     persist_fact_rows,
 )
 from hdsp_hive_release_src_spark.registry import query
@@ -632,14 +633,17 @@ def funnel_windowed_strict(
         .groupBy("user_id")
         .agg(F.min("ts").alias("s3"))
     )
-    return (
+    # r14 hygiene: the 1-row funnel summary is checkpointed off the
+    # cache and the events-row persist released — no session cache
+    return checkpoint_reduced_and_release(
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
         .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_1h"))))
         .join(
             F.broadcast(
                 p.agg(F.count(F.lit(1)).alias("n_purchased_1h"))
             )
-        )
+        ),
+        base,
     )
 
 

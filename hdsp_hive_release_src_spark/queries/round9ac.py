@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.operators.materialize import (
+    checkpoint_reduced_and_release,
     persist_fact_rows,
 )
 from hdsp_hive_release_src_spark.queries.llm10 import CMS_P
@@ -141,8 +142,14 @@ def conformal_prediction_interval(
             F.max("q_hat").cast("long").alias("q_hat_cents"),
         )
     )
-    return nq.select("n_cal").crossJoin(B(cov)).select(
-        "n_cal", "n_test", "q_hat_cents", "coverage_permille"
+    # r14 hygiene: the 1-row result is checkpointed off the cache and
+    # the orders-row persist released — no session-lifetime cache,
+    # executed scans unchanged
+    return checkpoint_reduced_and_release(
+        nq.select("n_cal")
+        .crossJoin(B(cov))
+        .select("n_cal", "n_test", "q_hat_cents", "coverage_permille"),
+        s,
     )
 
 

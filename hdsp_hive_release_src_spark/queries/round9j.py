@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.operators.materialize import (
+    checkpoint_reduced_and_release,
     persist_fact_rows,
 )
 from hdsp_hive_release_src_spark.queries.llm10 import CMS_P
@@ -208,7 +209,9 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
     )
-    return (
+    # r14 hygiene: the week-grain matrix is checkpointed off the cache
+    # and the events-row persist released — no session-lifetime cache
+    return checkpoint_reduced_and_release(
         c.join(cs, "cw")
         .select(
             F.expr("date_add(date '1970-01-01', cast(cw * 7 as int))")
@@ -220,7 +223,8 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ltv_cents_per_user"),
         )
-        .orderBy("cohort_week_start", "week_offset")
+        .orderBy("cohort_week_start", "week_offset"),
+        rev,
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.operators.materialize import (
+    checkpoint_reduced_and_release,
     persist_fact_rows,
 )
 from hdsp_hive_release_src_spark.functions.text import (
@@ -154,7 +155,9 @@ def rake_keyword_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_milli").cast("long").alias("score_milli"),
         )
     )
-    return (
+    # r14 hygiene: the top-N result is checkpointed off the cache and
+    # the token-row persist released — no session-lifetime cache
+    return checkpoint_reduced_and_release(
         occ.groupBy("phrase", "phrase_len")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
@@ -162,7 +165,8 @@ def rake_keyword_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("phrase", "phrase_len", "n_occurrences", "score_milli")
         .orderBy(F.desc("score_milli"), "phrase")
-        .limit(RAKE_TOP)
+        .limit(RAKE_TOP),
+        pw,
     )
 
 

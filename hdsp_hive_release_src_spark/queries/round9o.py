@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.operators.materialize import (
+    checkpoint_reduced_and_release,
     persist_fact_rows,
 )
 from hdsp_hive_release_src_spark.registry import query
@@ -149,7 +150,9 @@ def table_diff_reconcile(
         "c1",
         "c2",
     )
-    return (
+    # r14 hygiene: the 4-row diff summary is checkpointed off the
+    # cache and the orders-row persist released — no session cache
+    return checkpoint_reduced_and_release(
         j.groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -162,7 +165,8 @@ def table_diff_reconcile(
             .cast("long")
             .alias("abs_drift_cents"),
         )
-        .orderBy("status")
+        .orderBy("status"),
+        base,
     )
 
 

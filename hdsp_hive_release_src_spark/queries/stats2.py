@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.operators.materialize import (
+    checkpoint_reduced_and_release,
     persist_fact_rows,
 )
 from hdsp_hive_release_src_spark.registry import query
@@ -362,7 +363,9 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.median("adev").alias("mad")
     )
-    return (
+    # r14 hygiene: the per-type result is checkpointed off the cache
+    # and the events-row persist released — no session-lifetime cache
+    return checkpoint_reduced_and_release(
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
@@ -374,7 +377,8 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        dev,
     )
 
 

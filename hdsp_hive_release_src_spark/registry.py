@@ -83,6 +83,19 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # then unpersist) — still exactly one executed embeddings scan, but
     # the plan the driver sees is now checkpoint-rooted.
     "kmeans_clusters",
+    # ... and the same hygiene applied registry-wide to every query
+    # that DISK_ONLY-persists a fact-row intermediate and ends in a
+    # reduced result (checkpoint_reduced_and_release): the final
+    # aggregate is checkpointed off the cache and the persist released
+    # before returning. Values and executed-scan counts identical; the
+    # returned plan is checkpoint-rooted. (asof_join_events_orders
+    # keeps its cache — row-per-input output, documented in place.)
+    "conformal_prediction_interval",
+    "rake_keyword_phrases",
+    "mad_outliers",
+    "table_diff_reconcile",
+    "funnel_windowed_strict",
+    "cohort_ltv_matrix",
 )
 
 # Empty as of r11: every registered query now has a driver correctness

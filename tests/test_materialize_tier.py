@@ -225,6 +225,38 @@ def _disk_only_rdd_count(spark) -> int:
     return n
 
 
+class TestQueryCacheRelease:
+    # every registered query that DISK_ONLY-persists a fact-row
+    # intermediate and ends reduced must release the cache before
+    # returning (checkpoint_reduced_and_release, r14); only
+    # asof_join_events_orders (row-per-input output) may retain one
+    RELEASING = [
+        "conformal_prediction_interval",
+        "rake_keyword_phrases",
+        "mad_outliers",
+        "table_diff_reconcile",
+        "funnel_windowed_strict",
+        "cohort_ltv_matrix",
+        "histogram_equi_depth",
+        "trimmed_mean",
+        "kmeans_clusters",
+    ]
+
+    def test_reduced_output_queries_leave_no_disk_cache(
+        self, spark, sf_dir
+    ):
+        from hdsp_hive_release_src_spark import registry
+
+        registry.load_all()
+        for name in self.RELEASING:
+            spark.catalog.clearCache()
+            before = _disk_only_rdd_count(spark)
+            rows = registry.QUERIES[name](spark, sf_dir).collect()
+            assert rows, name
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+            assert _disk_only_rdd_count(spark) == before, name
+
+
 class TestKmeansCacheRelease:
     def test_kmeans_releases_corpus_cache(self, spark, sf_dir):
         # r13 advice: no session-lifetime DISK_ONLY leak per kmeans()
