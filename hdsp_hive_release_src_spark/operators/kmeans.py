@@ -119,9 +119,18 @@ def kmeans(
         # build the caller's reduced result off the cache (one read),
         # cut its lineage so nothing downstream references n, then
         # release the corpus cache — zero session-lifetime leak at the
-        # pinned single executed corpus scan
-        out = finalize(out).localCheckpoint()
-        n.unpersist(blocking=False)
+        # pinned single executed corpus scan. Same guard as
+        # operators/ranking.py: a row-per-corpus finalize result must
+        # never localCheckpoint (the forbidden fact tier) — it is
+        # returned lazily and the cache kept.
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            is_reduced_rooted,
+        )
+
+        out = finalize(out)
+        if is_reduced_rooted(out):
+            out = out.localCheckpoint()
+            n.unpersist(blocking=False)
         return out
     n.unpersist(blocking=False)
     return out
