@@ -119,18 +119,14 @@ def kmeans(
         # build the caller's reduced result off the cache (one read),
         # cut its lineage so nothing downstream references n, then
         # release the corpus cache — zero session-lifetime leak at the
-        # pinned single executed corpus scan. Same guard as
-        # operators/ranking.py: a row-per-corpus finalize result must
-        # never localCheckpoint (the forbidden fact tier) — it is
-        # returned lazily and the cache kept.
+        # pinned single executed corpus scan. The shared helper guards
+        # the tier (a row-per-corpus finalize result must never
+        # localCheckpoint — it is returned lazily with the cache kept)
+        # and honors the test-only SPARK_GRAFT_KEEP_PLAN bypass.
         from hdsp_hive_release_src_spark.operators.materialize import (
-            is_reduced_rooted,
+            checkpoint_reduced_and_release,
         )
 
-        out = finalize(out)
-        if is_reduced_rooted(out):
-            out = out.localCheckpoint()
-            n.unpersist(blocking=False)
-        return out
+        return checkpoint_reduced_and_release(finalize(out), n)
     n.unpersist(blocking=False)
     return out

@@ -32,6 +32,8 @@ scans that run at build time behind a checkpoint).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -119,21 +121,33 @@ def is_reduced_rooted(df: DataFrame) -> bool:
 
 
 def checkpoint_reduced_and_release(
-    out: DataFrame, *caches: DataFrame
+    out: DataFrame, *caches
 ) -> DataFrame:
     """Close a query-local persist leak: eagerly localCheckpoint a
     REDUCED final result (guarded by is_reduced_rooted — the plan must
     prove it; fact-row frames never localCheckpoint), then release the
-    persist-tier ``caches`` the computation consumed. Executed-scan
-    counts are unchanged: the checkpoint build reads the caches, which
-    the query's collects already built. If ``out`` is not provably
-    reduced, it is returned lazily and the caches are KEPT — dropping
-    them would make the final read re-execute the upstream (the safe
-    default; the caller documents the retained cache instead)."""
+    persist-tier ``caches`` the computation consumed (each a persisted
+    DataFrame, or a zero-arg release callable for tiers where
+    unpersist needs a guard). Executed-scan counts are unchanged: the
+    checkpoint build reads the caches, which the query's collects
+    already built. If ``out`` is not provably reduced, it is returned
+    lazily and the caches are KEPT — dropping them would make the
+    final read re-execute the upstream (the safe default; the caller
+    documents the retained cache instead).
+
+    TEST-ONLY bypass: ``SPARK_GRAFT_KEEP_PLAN=1`` skips the checkpoint
+    (and the release) so plan-shape tests can assert the INNER plan —
+    window partitioning, cache-build scan counts — that the checkpoint
+    leaf would otherwise hide. Production never sets it."""
+    if os.environ.get("SPARK_GRAFT_KEEP_PLAN") == "1":
+        return out
     if is_reduced_rooted(out):
         out = out.localCheckpoint()
         for c in caches:
-            c.unpersist(blocking=False)
+            if callable(c):
+                c()
+            else:
+                c.unpersist(blocking=False)
     return out
 
 

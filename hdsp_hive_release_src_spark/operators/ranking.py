@@ -131,14 +131,13 @@ def with_global_rank(
         ).cast("long"),
     ).drop("__rid")
     if finalize is not None:
-        out = finalize(ranked, total)
         from hdsp_hive_release_src_spark.operators.materialize import (
-            is_reduced_rooted,
+            checkpoint_reduced_and_release,
         )
 
-        if is_reduced_rooted(out):
-            out = out.localCheckpoint()
-            release()
+        out = checkpoint_reduced_and_release(
+            finalize(ranked, total), release
+        )
         return out, total
     return ranked, total
 
