@@ -146,6 +146,17 @@ def main() -> None:
         "total_per_calibration": (
             round(total / calibration_s, 2) if calibration_s else None
         ),
+        # r14: the r13 verdict noted the ratio is noisier than the raw
+        # total when the single pre-probe swings 0.41-0.64 s across
+        # same-day runs; normalizing by the MEAN of the pre/post pair
+        # halves the probe-sampling variance. Kept alongside (not
+        # replacing) total_per_calibration so the r8-r13 series stays
+        # comparable.
+        "total_per_probe_mean": (
+            round(total / ((calibration_s + calibration_post_s) / 2), 2)
+            if calibration_s and calibration_post_s
+            else None
+        ),
     }
     # r14 in-band noise adjudication: the artifact itself says when it
     # was taken on a bad box — shot spread > 1.5× on any query, or the
@@ -423,6 +434,18 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         "stress_per_calibration": (
             round(total / stress_calibration_s, 2)
             if stress_calibration_s
+            else None
+        ),
+        "stress_per_probe_mean": (
+            round(
+                total
+                / (
+                    (stress_calibration_s + stress_calibration_post_s)
+                    / 2
+                ),
+                2,
+            )
+            if stress_calibration_s and stress_calibration_post_s
             else None
         ),
         "noisy": bool(noisy_queries) or probe_drift > 1.5,
