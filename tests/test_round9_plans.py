@@ -30,6 +30,46 @@ def test_skyline_has_no_join(spark):
     assert "Window" in plan
 
 
+def test_skyline_matches_quadratic_dominance_definition(spark):
+    """Independent value replay (r14 spot-audit finding): the DuckDB
+    oracle shares the sort+running-min REFORMULATION, so a
+    reformulation bug would pass both engines. This replay computes
+    the Pareto front from the quadratic dominance DEFINITION — point
+    p survives iff no q has q.size <= p.size and q.cents <= p.cents
+    with at least one strict — in pure Python over the per-
+    (brand, size) min-cents rollup the query starts from."""
+    rows = registry.QUERIES["skyline_pareto_front"](
+        spark, SF
+    ).collect()
+    got = {(r[0], r[1], r[2]) for r in rows}
+
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    ).to_pylist()
+    pts: dict = {}
+    for r in t:
+        k = (r["p_brand"], int(r["p_size"]))
+        c = int(round(r["p_retailprice"] * 100))
+        pts[k] = min(pts.get(k, c), c)
+    by_brand = collections.defaultdict(list)
+    for (b, s), c in pts.items():
+        by_brand[b].append((s, c))
+    want = set()
+    for b, ps in by_brand.items():
+        for s, c in ps:
+            dominated = any(
+                (s2 <= s and c2 <= c) and (s2 < s or c2 < c)
+                for s2, c2 in ps
+            )
+            if not dominated:
+                want.add((b, s, c))
+    assert got == want
+
+
 def test_skyline_scan_prunes_columns(spark):
     plan = _plan(registry.QUERIES["skyline_pareto_front"](spark, SF))
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
