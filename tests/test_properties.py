@@ -427,3 +427,105 @@ def test_morton_interleave_roundtrip(spark, c, d):
         F.expr(back_c).alias("c"), F.expr(back_d).alias("d")
     ).collect()[0]
     assert (row.c, row.d) == (c, d)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(), st.integers(min_value=-50, max_value=50)
+            ),  # nullable value (dups + the dedicated null range)
+            st.integers(min_value=0, max_value=10**6),  # id
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[1],
+    ),
+    st.booleans(),
+)
+def test_with_global_rank_null_order_matches_sql(spark, rows, desc):
+    """with_global_rank's dedicated NULL range (asc → NULLS FIRST,
+    desc → NULLS LAST — the r6 guarantee) must replicate SQL
+    row_number over the same order on random nullable data, both
+    directions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.operators.ranking import (
+        with_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for v, i in rows],
+        "id long, v double",
+    )
+    ranked, total = with_global_rank(
+        df, "v", ["id"], descending=desc, n_ranges=4, rank_col="rnk"
+    )
+    got = {r.id: r.rnk for r in ranked.collect()}
+    order = (
+        [F.desc("v"), F.asc("id")] if desc else [F.asc("v"), F.asc("id")]
+    )
+    w = Window.orderBy(*order)
+    want = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert total == len(rows)
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(), st.integers(min_value=-20, max_value=20)
+            ),  # nullable order value
+            st.integers(min_value=0, max_value=10**6),  # id
+            st.integers(min_value=-100, max_value=100),  # summand
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_range_prefix_sum_matches_sql_running_sum(spark, rows):
+    """range_prefix_sum ≡ sum() OVER (ORDER BY v, id ROWS UNBOUNDED
+    PRECEDING) on random nullable data — the null order values land
+    in the dedicated first range (Spark asc = NULLS FIRST), exactly
+    like the global window it replaces."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hdsp_hive_release_src_spark.operators.ranking import (
+        range_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, float(v) if v is not None else None, s)
+            for v, i, s in rows
+        ],
+        "id long, v double, x long",
+    )
+    got = {
+        r.id: r.cum_x
+        for r in range_prefix_sum(
+            df, "v", ["id"], ["x"], n_ranges=4
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.id: r.cs
+        for r in df.select(
+            "id", F.sum("x").over(w).cast("long").alias("cs")
+        ).collect()
+    }
+    assert got == want
