@@ -58,45 +58,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 14: the registry is frozen and r13's 46 re-plans all landed
-# green (CORRECTNESS_r13 50/50), so this round carries ~zero changed
-# names — the entire window goes to the r1/r2 certification staleness
-# tail (36 r1 + 34 r2 names whose latest driver rows predate the r4
-# testdata migration and r8 canonicalization hardening; all 70
-# re-verified locally in tools/STALE_COHORT_RECHECK_r13.json but the
-# driver record is the grade). Names appear below only if this
-# round's hardening changed their physical plan.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r14 verdict item 4 / ADVICE: operators/ranking.py derives its
-    # input-materialization tier from the optimized plan
-    # (materialize.is_reduced_rooted) instead of trusting a comment —
-    # non-aggregate-rooted inputs now persist(DISK_ONLY) rather than
-    # localCheckpoint. These four callers pass scan-rooted inputs
-    # (orders / customer projections), so their materialization tier —
-    # and physical plan — changed; values identical.
-    "histogram_equi_depth",
-    "trimmed_mean",
-    "window_ntile",
-    "quantile_normalize",
-    # r13 advice: kmeans releases its corpus-sized DISK_ONLY cache via
-    # an in-operator finalize (per-cluster rollup eagerly checkpointed,
-    # then unpersist) — still exactly one executed embeddings scan, but
-    # the plan the driver sees is now checkpoint-rooted.
-    "kmeans_clusters",
-    # ... and the same hygiene applied registry-wide to every query
-    # that DISK_ONLY-persists a fact-row intermediate and ends in a
-    # reduced result (checkpoint_reduced_and_release): the final
-    # aggregate is checkpointed off the cache and the persist released
-    # before returning. Values and executed-scan counts identical; the
-    # returned plan is checkpoint-rooted. (asof_join_events_orders
-    # keeps its cache — row-per-input output, documented in place.)
-    "conformal_prediction_interval",
-    "rake_keyword_phrases",
-    "mad_outliers",
-    "table_diff_reconcile",
-    "funnel_windowed_strict",
-    "cohort_ltv_matrix",
-)
+# round 15: the registry is frozen, r14's 11 re-plans all landed green
+# (CORRECTNESS_r14 50/50), and this round's items are process-grade
+# (bench artifact shape, checkpoint-leaf verification, audit-tool
+# laziness) — none re-plan a registered query, so the tuple is empty
+# and the whole 50-slot window drains the staleness tail: all 31
+# remaining r2 names (22 TPC-H q-names, merge_upsert, and 8 §2.4
+# LLM-pipeline names) plus the 19 alphabetically-first r3 names.
+# After this window no row predates r3. Names appear below only if a
+# change alters the physical plan the driver sees.
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # Empty as of r11: every registered query now has a driver correctness
 # row (CORRECTNESS_r11 landed all 44 wave-19-29 names). New queries go
