@@ -184,7 +184,51 @@ def main() -> None:
             )
         except Exception as ex:  # auxiliary — never kill the headline
             out["stress_error"] = f"{type(ex).__name__}: {ex}"[:200]
+    # r15 (r14 verdict item 2): the driver keeps only the TAIL of
+    # stdout, and BENCH_r14's captured record lost the headline tier
+    # (the stress_10x object was last in the line, so only it
+    # survived). The compact summary is therefore the FINAL key of
+    # the one-line record — whatever prefix truncation removes, the
+    # line's tail alone answers "faster or slower, and is it
+    # trustworthy": headline total + both ratios + per-tier noisy
+    # adjudication + the stress headline numbers.
+    out["summary"] = _summary(out)
     print(json.dumps(out))
+
+
+def _summary(out: dict) -> dict:
+    """Truncation-proof digest of a bench record (r14 verdict item 2).
+
+    Emitted as the LAST key of the one-line JSON so the adjudicable
+    numbers survive driver stdout tail-truncation. Everything here is
+    a copy of a value that also appears in full elsewhere in the
+    record."""
+    stress = out.get("stress_10x") or {}
+    return {
+        "headline_total_s": out["value"],
+        "headline_queries": out["queries"],
+        "ratio": out["total_per_calibration"],
+        "probe_mean_ratio": out["total_per_probe_mean"],
+        "noisy": out["noisy"],
+        "noisy_queries": out["noisy_queries"],
+        "probe_drift": out["probe_drift"],
+        "stress_total_s": stress.get("value"),
+        "stress_noisy": stress.get("noisy"),
+        "stress_noisy_queries": stress.get("noisy_queries"),
+        "stress_jaccard_best_s": stress.get("queries", {}).get(
+            "dedup_ngram_jaccard"
+        ),
+        "stress_jaccard_median_s": stress.get("medians", {}).get(
+            "dedup_ngram_jaccard"
+        ),
+        "stress_components_best_s": stress.get("queries", {}).get(
+            "dedup_components"
+        ),
+        "stress_components_median_s": stress.get("medians", {}).get(
+            "dedup_components"
+        ),
+        "stress_error": out.get("stress_error"),
+    }
 
 
 STRESS_QUERIES = [
@@ -233,6 +277,16 @@ STRESS_QUERIES = [
 # reader sees the non-default parameterization in-band, not only in
 # source comments.
 STRESS_OVERRIDE_TAGS = {"heavy_hitters_topk": "den=400"}
+
+# r15 (r14 verdict item 3): queries whose recorded stress-shot spread
+# exceeded 2× in r13/r14 (multi-modal single-box behavior — jaccard
+# shots of [4.46, 18.50, 15.85] in one judge session on unchanged code
+# and a deterministic replica). Best-of-2/3 on a multi-modal
+# distribution samples a MODE, so these get a fixed 4 shots and the
+# artifact reports best AND median ("medians" key); the
+# round-over-round series tracks the MEDIAN for these two (SURVEY §6),
+# best for everything else.
+STRESS_HIGH_VARIANCE = {"dedup_ngram_jaccard", "dedup_components"}
 
 
 def _stress_overrides():
@@ -362,7 +416,11 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         fn = overrides.get(name, registry.QUERIES[name])
         best, n = float("inf"), 0
         shots[name] = []
-        for shot in range(2):
+        # fixed 4 shots for the known multi-modal queries (median is
+        # the tracked number — see STRESS_HIGH_VARIANCE), best-of-2
+        # (+adaptive 3rd) for the rest
+        n_shots = 4 if name in STRESS_HIGH_VARIANCE else 2
+        for shot in range(n_shots):
             # isolate each timing from the previous queries' leftover
             # cached plans: stress queries that persist (label
             # propagation caches 12 rounds; pagerank caches edges)
@@ -384,8 +442,14 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
                       f"2nd shot; 1st was {shot_s:.1f}s)",
                       file=sys.stderr)
                 break
+            if shot >= 1 and time.time() - t_start + shot_s > budget:
+                # high-variance fixed-4 degrades gracefully: >=2 shots
+                # is a valid (if weaker) record — stop adding shots,
+                # keep the number, the shots array shows the count
+                break
         if (
             best > 0
+            and len(shots[name]) < 3
             and _spread(shots[name]) > 1.5
             and time.time() - t_start + best < budget
         ):
@@ -410,6 +474,16 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     print(f"# stress calibration post: {stress_calibration_post_s}s",
           file=sys.stderr)
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # median per high-variance query (the tracked number for these —
+    # best-of-N on a multi-modal distribution samples a mode; the
+    # median converges)
+    from statistics import median
+
+    medians = {
+        q: round(median(ss), 3)
+        for q, ss in shots.items()
+        if q in STRESS_HIGH_VARIANCE and timings.get(q, -1.0) > 0
+    }
     noisy_queries = sorted(
         q for q, ss in shots.items() if _spread(ss) > 1.5
     )
@@ -422,6 +496,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         "unit": "sec",
         "queries": timings,
         "shots": shots,
+        "medians": medians,
         "overrides": STRESS_OVERRIDE_TAGS,
         "output_rows_per_sec": rows_per_sec,
         "value": total,

@@ -65,8 +65,12 @@ def kmeans(
     leaks nothing for the life of the session while keeping exactly
     one executed corpus scan (the pinned count). Without it, the cache
     is released at return and the final assignment read recomputes
-    from lineage (DISK_ONLY retains it) — one extra pruned scan, still
-    no session-lifetime leak (r13 advice)."""
+    from lineage (DISK_ONLY retains it) — one extra pruned scan PER
+    ACTION on the returned frame, still no session-lifetime leak (r13
+    advice). A consumer that will act on the assignments repeatedly
+    should pass a finalize (checkpointed once) or persist the returned
+    frame itself rather than pay the recompute each time (r14
+    advice)."""
     # r13 subtree-audit fix: the seed collect, each iteration's
     # centroid-update collect and the final assignment each re-ran the
     # input lineage from parquet (4 executed corpus scans measured for

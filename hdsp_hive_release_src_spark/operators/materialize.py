@@ -81,22 +81,77 @@ _ROW_PRESERVING = frozenset(
     }
 )
 
-# row count bounded independently of any fact table beneath
+# row count bounded independently of any fact table beneath.
+# CONVENTION LIMIT (r14 ADVICE): Aggregate/Deduplicate keyed at FACT
+# grain (groupBy on an order key, dropDuplicates on a unique id) is
+# still fact-row-sized yet classifies reduced here — the plan cannot
+# see key cardinality. The repo-wide convention that keeps this sound:
+# callers only route frames through the reduced tier whose grouping /
+# dedup keys are DIMENSION- or bucket-grain (cluster ids, day grain,
+# range ids, group keys), never a per-fact-row unique key. A future
+# caller with a fact-grain aggregate must take persist_fact_rows
+# directly; the classifier will not catch it.
 _REDUCING = frozenset(
     {"Aggregate", "Deduplicate", "GlobalLimit", "LocalLimit"}
 )
 
-# leaves that are reduced by construction (literals, one-row, or a
-# prior reduced-tier localCheckpoint)
+# leaves that are reduced by construction (literals / one-row)
 _REDUCED_LEAVES = frozenset(
-    {"LocalRelation", "OneRowRelation", "OneRowRelation$", "LogicalRDD"}
+    {"LocalRelation", "OneRowRelation", "OneRowRelation$"}
 )
+
+# r15 (r14 verdict item 4): checkpoint leaves are VERIFIED, not
+# assumed. Until r14 a LogicalRDD leaf classified reduced on the
+# discipline argument "only reduced frames are ever localCheckpointed
+# here" — true of every call site then, but one future fact-sized
+# localCheckpoint anywhere would both BE the bug and make the
+# classifier bless its re-materialization. checkpoint_reduced() below
+# registers the RDD id of every checkpoint this module creates from a
+# plan-proven reduced frame; _node_reduced admits exactly those ids.
+# An UNREGISTERED LogicalRDD (a query-level .localCheckpoint(), a
+# frame from another session, anything) classifies FACT — the safe
+# tier: the cost of a wrong "fact" call is a cheap DISK_ONLY persist
+# of a small table, never a fact-row localCheckpoint.
+_REDUCED_CHECKPOINT_RDD_IDS: set[int] = set()
+
+
+def _register_if_checkpoint(df: DataFrame) -> DataFrame:
+    """Record ``df``'s checkpoint RDD id as proven-reduced. The caller
+    must hold a plan-level proof (is_reduced_rooted on the PRE-
+    checkpoint frame) before calling."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            _REDUCED_CHECKPOINT_RDD_IDS.add(plan.rdd().id())
+    except Exception:
+        pass  # unregistered ⇒ later classifications take the safe tier
+    return df
+
+
+def checkpoint_reduced(df: DataFrame) -> DataFrame:
+    """localCheckpoint a reduced frame and register the checkpoint so
+    is_reduced_rooted verifies the leaf on re-entry instead of
+    trusting the discipline. The proof is re-derived here, never
+    trusted: a caller that passes a fact-row frame still gets its
+    checkpoint (its own tier call to make), but the result is NOT
+    registered — on re-entry the classifier refuses it and downstream
+    materializations take the safe DISK_ONLY tier."""
+    proven = is_reduced_rooted(df)
+    out = df.localCheckpoint()
+    if proven:
+        _register_if_checkpoint(out)
+    return out
 
 
 def _node_reduced(plan) -> bool:
     name = plan.getClass().getSimpleName()
     if name in _REDUCING or name in _REDUCED_LEAVES:
         return True
+    if name == "LogicalRDD":
+        try:
+            return plan.rdd().id() in _REDUCED_CHECKPOINT_RDD_IDS
+        except Exception:
+            return False
     if name in _ROW_PRESERVING:
         return _node_reduced(plan.children().apply(0))
     if name == "Join":
@@ -142,7 +197,7 @@ def checkpoint_reduced_and_release(
     if os.environ.get("SPARK_GRAFT_KEEP_PLAN") == "1":
         return out
     if is_reduced_rooted(out):
-        out = out.localCheckpoint()
+        out = checkpoint_reduced(out)
         for c in caches:
             if callable(c):
                 c()
@@ -165,6 +220,6 @@ def materialize_input(df: DataFrame):
     checkpoint tier, whose blocks ARE the data (lineage severed —
     unpersisting them would lose the frame, not just the cache)."""
     if is_reduced_rooted(df):
-        return df.localCheckpoint(), (lambda: None)
+        return checkpoint_reduced(df), (lambda: None)
     out = persist_fact_rows(df)
     return out, (lambda: out.unpersist(blocking=False) and None)

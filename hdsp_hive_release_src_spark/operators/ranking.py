@@ -72,7 +72,12 @@ def with_global_rank(
     materialization once) and a persist-tier input cache is released
     before returning — the kmeans-style no-session-leak shape at the
     pinned single executed scan. A non-reduced finalize result is
-    returned lazily and the cache kept (the safe default)."""
+    returned lazily and the cache kept (the safe default). Without
+    ``finalize``, the ranked frame is returned lazily and a fact-tier
+    input cache is released at return — the consumer's action then
+    recomputes the pruned input scan from DISK_ONLY's retained
+    lineage (one extra executed scan per action, the kmeans
+    default-path trade) and nothing is cached for the session."""
     # r13 subtree-audit fix: the operator consumes its input THREE
     # times (the percentile collect, the per-range count collect, the
     # ranked output), and chained calls compound — three exact_ntile
@@ -139,6 +144,17 @@ def with_global_rank(
             finalize(ranked, total), release
         )
         return out, total
+    # r15 (r14 verdict item 5): the no-finalize path releases the
+    # fact-tier input cache BEFORE returning the lazy row-per-input
+    # frame — the kmeans default-path trade. DISK_ONLY's retained
+    # lineage means the consumer's action recomputes the pruned input
+    # scan (one extra executed scan per action, pinned in
+    # tests/test_scan_counts.py) instead of the cache living for the
+    # session. Multi-action consumers that want the cache back should
+    # pass a finalize (released-after-checkpoint) or persist the
+    # returned frame themselves. Checkpoint-tier inputs are unaffected
+    # (release is a no-op — the blocks ARE the data).
+    release()
     return ranked, total
 
 

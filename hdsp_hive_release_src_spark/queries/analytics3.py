@@ -75,7 +75,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user-grain rollup (checkpointed — three ntile calls consume it)
     # carries everything and events is scanned ONCE (was 14 before the
     # exact_ntile input-materialization fix, 2 after, 1 now).
-    per_user = (
+    # r15: checkpoint_reduced (not raw localCheckpoint) so the three
+    # exact_ntile calls' verified tier classifier recognizes this
+    # user-grain rollup as a proven reduced materialization and keeps
+    # the cheap checkpoint tier for their input materializations.
+    from hdsp_hive_release_src_spark.operators.materialize import (
+        checkpoint_reduced,
+    )
+
+    per_user = checkpoint_reduced(
         ev.groupBy("user_id")
         .agg(
             F.max(F.col("ts").cast("date")).alias("last_d"),
@@ -84,7 +92,6 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("monetary_cents"),
         )
-        .localCheckpoint()
     )
     anchor = per_user.agg(F.max("last_d").alias("mx"))
     base = per_user.crossJoin(F.broadcast(anchor)).select(

@@ -210,6 +210,14 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint_reduced_and_release hygiene cannot apply — the
     # narrow cache stays until clearCache/session end, the documented
     # trade (releasing it early would re-execute the scan per side).
+    # r15 note: the release-at-return shape adopted by the no-finalize
+    # ranking path does NOT apply here either — this operator has no
+    # build-time collects, so the cache is only built BY the
+    # consumer's action and saves a scan WITHIN it (both sides read
+    # one build); unpersisting at return would simply restore the
+    # two-scan plan. This is the one registry-wide documented
+    # retention (tests/test_materialize_tier.py::TestQueryCacheRelease
+    # pins it as the single exception).
     from hdsp_hive_release_src_spark.operators.materialize import (
         persist_fact_rows,
     )

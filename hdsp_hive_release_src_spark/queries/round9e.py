@@ -334,11 +334,17 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes it twice at build time) plus the totals and decile
     # branches — the per-customer aggregate re-executed from parquet
     # for each. One dimension-bounded checkpoint; the total also
-    # reads it directly instead of the ranked output.
-    spend = (
+    # reads it directly instead of the ranked output. r15: built via
+    # checkpoint_reduced (not raw localCheckpoint) so the ranking
+    # operator's verified classifier recognizes the leaf as a proven
+    # reduced materialization and keeps the cheap checkpoint tier.
+    from hdsp_hive_release_src_spark.operators.materialize import (
+        checkpoint_reduced,
+    )
+
+    spend = checkpoint_reduced(
         o.groupBy("o_custkey")
         .agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
-        .localCheckpoint()
     )
     ranked, nc = with_global_rank(
         spend, "cents", ["o_custkey"], rank_col="rn"

@@ -67,7 +67,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # LLM-pipeline names) plus the 19 alphabetically-first r3 names.
 # After this window no row predates r3. Names appear below only if a
 # change alters the physical plan the driver sees.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r14 verdict item 5: with_global_rank's no-finalize path now
+    # releases its fact-tier input cache at return (the kmeans
+    # default-path trade) — these two row-per-input callers no longer
+    # leave a session-lifetime DISK_ONLY persist, and the plan the
+    # driver executes reads the pruned scan instead of an
+    # InMemoryRelation. Values identical; executed scans 1 → 2
+    # (pinned in tests/test_scan_counts.py).
+    "window_ntile",
+    "quantile_normalize",
+)
 
 # Empty as of r11: every registered query now has a driver correctness
 # row (CORRECTNESS_r11 landed all 44 wave-19-29 names). New queries go

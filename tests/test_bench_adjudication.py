@@ -93,3 +93,84 @@ class TestStressLayoutDeterminism:
             assert meta["rows"] == 2 * src_rows
         shutil.rmtree(a, ignore_errors=True)
         shutil.rmtree(b, ignore_errors=True)
+
+
+class TestTruncationProofSummary:
+    """r15 (r14 verdict item 2): the driver keeps only the TAIL of
+    bench stdout, and BENCH_r14 lost its headline tier that way. The
+    record's final key is a compact summary duplicating every graded
+    number, so the line's tail alone adjudicates the round."""
+
+    RECORD = {
+        "value": 4.507,
+        "queries": {"q1_pricing_summary": 0.3},
+        "total_per_calibration": 9.14,
+        "total_per_probe_mean": 9.67,
+        "noisy": False,
+        "noisy_queries": [],
+        "probe_drift": 1.06,
+        "stress_10x": {
+            "value": 17.1,
+            "noisy": True,
+            "noisy_queries": ["dedup_ngram_jaccard"],
+            "queries": {
+                "dedup_ngram_jaccard": 1.98,
+                "dedup_components": 5.89,
+            },
+            "medians": {
+                "dedup_ngram_jaccard": 2.4,
+                "dedup_components": 6.1,
+            },
+        },
+    }
+
+    def test_summary_carries_every_graded_number(self):
+        from bench import _summary
+
+        s = _summary(self.RECORD)
+        assert s["headline_total_s"] == 4.507
+        assert s["ratio"] == 9.14
+        assert s["probe_mean_ratio"] == 9.67
+        assert s["noisy"] is False
+        assert s["stress_total_s"] == 17.1
+        assert s["stress_noisy"] is True
+        assert s["stress_noisy_queries"] == ["dedup_ngram_jaccard"]
+        assert s["stress_jaccard_best_s"] == 1.98
+        assert s["stress_jaccard_median_s"] == 2.4
+        assert s["stress_components_best_s"] == 5.89
+        assert s["stress_components_median_s"] == 6.1
+        assert s["stress_error"] is None
+
+    def test_summary_survives_missing_stress_tier(self):
+        from bench import _summary
+
+        rec = {k: v for k, v in self.RECORD.items() if k != "stress_10x"}
+        rec["stress_error"] = "RuntimeError: boom"
+        s = _summary(rec)
+        assert s["stress_total_s"] is None
+        assert s["stress_error"] == "RuntimeError: boom"
+        assert s["headline_total_s"] == 4.507
+
+    def test_summary_is_the_last_key_of_the_record(self):
+        """Insertion-order pin: json.dumps preserves dict order, so
+        'summary last in main()' == 'summary at the line's tail'. The
+        source assignment must be the final mutation before print."""
+        import re
+        from pathlib import Path
+
+        src = (Path(__file__).parent.parent / "bench.py").read_text()
+        m = re.search(
+            r'out\["summary"\] = _summary\(out\)\s*\n\s*'
+            r"print\(json\.dumps\(out\)\)",
+            src,
+        )
+        assert m, "summary must be assigned immediately before print"
+
+    def test_high_variance_queries_get_fixed_four_shots(self):
+        from bench import STRESS_HIGH_VARIANCE, STRESS_QUERIES
+
+        assert STRESS_HIGH_VARIANCE == {
+            "dedup_ngram_jaccard",
+            "dedup_components",
+        }
+        assert STRESS_HIGH_VARIANCE <= set(STRESS_QUERIES)

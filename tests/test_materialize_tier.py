@@ -52,20 +52,59 @@ class TestClassifier:
     def test_limit_is_reduced(self, spark, sf_dir):
         assert is_reduced_rooted(_orders(spark, sf_dir).limit(10))
 
-    def test_checkpoint_leaf_is_reduced(self, spark, sf_dir):
-        # a localCheckpoint leaf is, under the discipline, a PRIOR
-        # reduced materialization — chained operator calls (rfm's
-        # three exact_ntiles) must keep the cheap tier
+    def test_registered_checkpoint_leaf_is_reduced(self, spark, sf_dir):
+        # a checkpoint_reduced leaf is a VERIFIED prior reduced
+        # materialization (r15: registered by RDD id at creation) —
+        # chained operator calls (rfm's three exact_ntiles) must keep
+        # the cheap tier
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            checkpoint_reduced,
+        )
+
+        ck = checkpoint_reduced(
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("d"))
+        )
+        assert is_reduced_rooted(ck)
+        anchor = ck.agg(F.max("d").alias("mx"))
+        joined = ck.crossJoin(F.broadcast(anchor))
+        assert is_reduced_rooted(joined)
+
+    def test_unregistered_checkpoint_leaf_is_fact(self, spark, sf_dir):
+        # r15 (r14 verdict item 4): a RAW localCheckpoint — even of a
+        # genuinely reduced frame — is unverified and classifies FACT
+        # on re-entry; only checkpoints the module itself created from
+        # plan-proven reduced frames are admitted. Safe-tier cost only.
         ck = (
             _orders(spark, sf_dir)
             .groupBy("o_custkey")
             .agg(F.max("o_orderdate").alias("d"))
             .localCheckpoint()
         )
-        assert is_reduced_rooted(ck)
-        anchor = ck.agg(F.max("d").alias("mx"))
-        joined = ck.crossJoin(F.broadcast(anchor))
-        assert is_reduced_rooted(joined)
+        assert not is_reduced_rooted(ck)
+
+    def test_fact_checkpoint_refused_even_via_constructor(
+        self, spark, sf_dir
+    ):
+        # the verdict's done-criterion: a fact-row localCheckpoint
+        # introduced ANYWHERE must classify FACT on re-entry — even if
+        # someone misroutes it through checkpoint_reduced, the proof
+        # is re-derived, the registration refused, and downstream
+        # materializations take the safe DISK_ONLY tier.
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            checkpoint_reduced,
+        )
+
+        fact = _orders(spark, sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        ck = checkpoint_reduced(fact)  # misuse: fact-row frame
+        assert not is_reduced_rooted(ck)
+        df, release = materialize_input(ck.where(F.col("o_totalprice") > 0))
+        # routed to DISK_ONLY persist, never a second localCheckpoint
+        assert df.storageLevel == StorageLevel.DISK_ONLY
+        release()
 
     def test_join_with_fact_side_is_fact(self, spark, sf_dir):
         o = _orders(spark, sf_dir)
@@ -119,21 +158,28 @@ class TestTierRouting:
         assert "LogicalRDD" in plan
 
     def test_ranking_routes_fact_input_to_persist(self, spark, sf_dir):
+        # fact input: persisted DISK_ONLY for the two build collects,
+        # RELEASED at return (r15 no-finalize path) — the returned
+        # plan reads the pruned scan (no lingering InMemoryRelation),
+        # never a checkpoint RDD leaf, and no session cache remains
         from hdsp_hive_release_src_spark.operators.ranking import (
             with_global_rank,
         )
 
+        spark.catalog.clearCache()
+        before = _disk_only_rdd_count(spark)
         df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
         ranked, total = with_global_rank(
             df, "o_totalprice", ["o_orderkey"], rank_col="rnk"
         )
         assert total == df.count()
-        # the materialized input appears as an InMemoryRelation (persist)
-        # in the ranked plan, never as a checkpoint RDD leaf
         plan = ranked._jdf.queryExecution().optimizedPlan().toString()
-        assert "InMemoryRelation" in plan
         assert "LogicalRDD" not in plan
-        assert "disk" in plan.lower()
+        assert "InMemoryRelation" not in plan
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before
+        # the released-lineage read still produces the full ranking
+        assert ranked.count() == total
 
     def test_ranking_finalize_releases_fact_cache(self, spark, sf_dir):
         # kmeans-style hygiene: with a reduced finalize, the operator
@@ -227,9 +273,13 @@ def _disk_only_rdd_count(spark) -> int:
 
 class TestQueryCacheRelease:
     # every registered query that DISK_ONLY-persists a fact-row
-    # intermediate and ends reduced must release the cache before
-    # returning (checkpoint_reduced_and_release, r14); only
-    # asof_join_events_orders (row-per-input output) may retain one
+    # intermediate must release the cache before returning — reduced
+    # finals via checkpoint_reduced_and_release (r14), row-per-input
+    # ranking outputs via the no-finalize release-at-return path
+    # (r15, verdict item 5). The ONE documented exception registry-
+    # wide is asof_join_events_orders, whose cache is built BY the
+    # consumer's action and saves a scan within it (see events.py) —
+    # pinned below so a second exception can't appear silently.
     RELEASING = [
         "conformal_prediction_interval",
         "rake_keyword_phrases",
@@ -240,7 +290,28 @@ class TestQueryCacheRelease:
         "histogram_equi_depth",
         "trimmed_mean",
         "kmeans_clusters",
+        # r15: released at return by with_global_rank's no-finalize
+        # path; the driver's collect recomputes the pruned scan
+        "window_ntile",
+        "quantile_normalize",
+        "rfm_segmentation",
+        "lorenz_curve_deciles",
+        "gini_concentration_index",
     ]
+
+    def test_asof_is_the_only_documented_retention(self, spark, sf_dir):
+        from hdsp_hive_release_src_spark import registry
+
+        registry.load_all()
+        spark.catalog.clearCache()
+        before = _disk_only_rdd_count(spark)
+        rows = registry.QUERIES["asof_join_events_orders"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before + 1
+        spark.catalog.clearCache()
 
     def test_reduced_output_queries_leave_no_disk_cache(
         self, spark, sf_dir

@@ -19,11 +19,22 @@ Writes tools/BNLJ_AUDIT_r{round}.json.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# r15 (r14 ADVICE): this is a PLAN-ONLY sweep. Without the bypass,
+# checkpoint_reduced_and_release roots ~10 queries' returned plans at
+# a LogicalRDD leaf, hiding their inner join tree from this audit (a
+# conditioned BNLJ upstream of the final aggregate would classify
+# clean) — and eagerly EXECUTES each such query just to explain it.
+# The bypass keeps the sweep lazy and the inner plans visible; it is
+# exactly what production does minus the final checkpoint hop, so the
+# join shapes audited here are the production shapes.
+os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
 
 KNOWN_BENIGN = {
     "ann_bruteforce_topk": (

@@ -9,7 +9,16 @@ Usage: PYTHONPATH=/root/repo python tools/scan_sweep.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
+
+# r15 (r14 ADVICE): plan-only sweep — keep checkpoint-using queries
+# lazy and their inner Location leaves visible (see bnlj_audit.py).
+# NOTE this widens visibility vs the ≤r14 baseline: queries whose
+# final plan was checkpoint-rooted now expose their real scan leaves,
+# so a flag NEW relative to r14 needs adjudication (documented
+# multi-read vs regression), not automatic alarm.
+os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 

@@ -32,9 +32,17 @@ clean / flagged / exempt / unplannable).
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 from collections import Counter
+
+# r15 (r14 ADVICE): plan-only sweep — keep checkpoint-using queries
+# lazy and their inner operator trees visible (a repeated subtree
+# upstream of the final aggregate must not hide behind the LogicalRDD
+# leaf that checkpoint_reduced_and_release would otherwise root the
+# plan at). See tools/bnlj_audit.py for the full rationale.
+os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
 
 # queries whose repeated subtree IS the demonstrated semantics —
 # same adjudication style as SCAN_SWEEP by_design
