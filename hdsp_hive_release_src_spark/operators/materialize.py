@@ -111,8 +111,17 @@ _REDUCED_LEAVES = frozenset(
 # An UNREGISTERED LogicalRDD (a query-level .localCheckpoint(), a
 # frame from another session, anything) classifies FACT — the safe
 # tier: the cost of a wrong "fact" call is a cheap DISK_ONLY persist
-# of a small table, never a fact-row localCheckpoint.
-_REDUCED_CHECKPOINT_RDD_IDS: set[int] = set()
+# of a small table, never a fact-row localCheckpoint. Keys are
+# (applicationId, rdd_id): RDD ids restart from 0 with a new
+# SparkContext, so a bare id registered in a dead context could bless
+# an arbitrary RDD in its successor.
+_REDUCED_CHECKPOINT_RDD_IDS: set[tuple[str, int]] = set()
+
+
+def _checkpoint_key(plan) -> tuple[str, int]:
+    """(applicationId, rdd_id) of a LogicalRDD plan node."""
+    rdd = plan.rdd()
+    return (rdd.context().applicationId(), rdd.id())
 
 
 def _register_if_checkpoint(df: DataFrame) -> DataFrame:
@@ -122,7 +131,7 @@ def _register_if_checkpoint(df: DataFrame) -> DataFrame:
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            _REDUCED_CHECKPOINT_RDD_IDS.add(plan.rdd().id())
+            _REDUCED_CHECKPOINT_RDD_IDS.add(_checkpoint_key(plan))
     except Exception:
         pass  # unregistered ⇒ later classifications take the safe tier
     return df
@@ -149,7 +158,7 @@ def _node_reduced(plan) -> bool:
         return True
     if name == "LogicalRDD":
         try:
-            return plan.rdd().id() in _REDUCED_CHECKPOINT_RDD_IDS
+            return _checkpoint_key(plan) in _REDUCED_CHECKPOINT_RDD_IDS
         except Exception:
             return False
     if name in _ROW_PRESERVING:

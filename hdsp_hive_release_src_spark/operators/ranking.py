@@ -235,9 +235,11 @@ def range_prefix_sum(
     # same input-materialization discipline as with_global_rank: the
     # boundary collect, the partial-sum collect and the output each
     # consume df; tier chosen from the plan (reduced → localCheckpoint,
-    # fact rows → DISK_ONLY persist; every current caller passes a
-    # reduced frame, so no release path is needed here)
-    df, _release = materialize_input(df)
+    # fact rows → DISK_ONLY persist). Every current caller passes a
+    # reduced frame (release is then a no-op), but the fact tier gets
+    # the same release-at-return as with_global_rank's no-finalize
+    # path (r15) — no session-lifetime cache either way.
+    df, release = materialize_input(df)
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
         F.percentile_approx(
@@ -282,4 +284,8 @@ def range_prefix_sum(
             prefix + c,
             F.sum(c).over(w) + F.element_at(off_map, F.col("__rid")),
         )
+    # r15: same no-session-cache contract as with_global_rank's
+    # no-finalize path (no-op for the checkpoint tier every current
+    # caller takes)
+    release()
     return out.drop("__rid")

@@ -459,14 +459,23 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total each re-ran the per-part rollup from parquet). The rollup
     # is part-dimension-sized — checkpoint it once; the 1-row total is
     # consumed by both the classifier and the share column.
-    prev_ = (
+    # r15: checkpoint_reduced (not raw localCheckpoint) so
+    # range_prefix_sum's verified tier classifier recognizes the leaf
+    # as a proven reduced materialization and keeps the checkpoint
+    # tier (a raw checkpoint is unverifiable and would route the
+    # operator's input materialization to a retained DISK_ONLY
+    # persist — caught by runtime_sweep's r15 cache-hygiene check).
+    from hdsp_hive_release_src_spark.operators.materialize import (
+        checkpoint_reduced,
+    )
+
+    prev_ = checkpoint_reduced(
         li.groupBy("l_partkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
             .cast("long")
             .alias("rev")
         )
-        .localCheckpoint()
     )
     ranked = range_prefix_sum(
         prev_.withColumn("neg_rev", -F.col("rev")),

@@ -181,6 +181,24 @@ class TestTierRouting:
         # the released-lineage read still produces the full ranking
         assert ranked.count() == total
 
+    def test_prefix_sum_releases_fact_cache(self, spark, sf_dir):
+        # r15: range_prefix_sum has the same no-session-cache contract
+        # as with_global_rank's no-finalize path — a fact-tier input is
+        # persisted for the two build collects, released at return
+        from hdsp_hive_release_src_spark.operators.ranking import (
+            range_prefix_sum,
+        )
+
+        spark.catalog.clearCache()
+        before = _disk_only_rdd_count(spark)
+        df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
+        out = range_prefix_sum(
+            df, "o_totalprice", ["o_orderkey"], ["o_totalprice"]
+        )
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert _disk_only_rdd_count(spark) == before
+        assert out.count() == df.count()
+
     def test_ranking_finalize_releases_fact_cache(self, spark, sf_dir):
         # kmeans-style hygiene: with a reduced finalize, the operator
         # eagerly builds the reduction off the cache, releases the
@@ -297,6 +315,11 @@ class TestQueryCacheRelease:
         "rfm_segmentation",
         "lorenz_curve_deciles",
         "gini_concentration_index",
+        # r15: fed a RAW localCheckpoint into range_prefix_sum, which
+        # the verified classifier refuses — caught as a retained
+        # DISK_ONLY persist by runtime_sweep's cache-hygiene check;
+        # fixed via checkpoint_reduced (round9m.py)
+        "abc_pareto_class",
     ]
 
     def test_asof_is_the_only_documented_retention(self, spark, sf_dir):
