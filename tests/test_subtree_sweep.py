@@ -57,3 +57,28 @@ def test_no_repeated_expensive_subtrees(spark, sf_dir, name):
         f"{name} re-executes a join/aggregate subtree again: {hits} — "
         "a fixed r13 defect regressed (see tools/subtree_sweep.py)"
     )
+
+
+def test_tool_import_does_not_mutate_keep_plan_env():
+    """r15 regression pin: the plan-only sweep tools set
+    SPARK_GRAFT_KEEP_PLAN inside main(), NEVER at import — this test
+    module imports subtree_sweep at collection time, and an
+    import-time env mutation would silently bypass the checkpoint
+    discipline for the entire test process (caught as a full-suite
+    failure of the ranking cache-release pins in r15)."""
+    import importlib
+    import os
+
+    saved = os.environ.pop("SPARK_GRAFT_KEEP_PLAN", None)
+    try:
+        import bnlj_audit
+        import scan_sweep
+        import subtree_sweep
+
+        importlib.reload(subtree_sweep)
+        importlib.reload(bnlj_audit)
+        importlib.reload(scan_sweep)
+        assert "SPARK_GRAFT_KEEP_PLAN" not in os.environ
+    finally:
+        if saved is not None:
+            os.environ["SPARK_GRAFT_KEEP_PLAN"] = saved

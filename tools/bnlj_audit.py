@@ -26,16 +26,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# r15 (r14 ADVICE): this is a PLAN-ONLY sweep. Without the bypass,
-# checkpoint_reduced_and_release roots ~10 queries' returned plans at
-# a LogicalRDD leaf, hiding their inner join tree from this audit (a
-# conditioned BNLJ upstream of the final aggregate would classify
-# clean) — and eagerly EXECUTES each such query just to explain it.
-# The bypass keeps the sweep lazy and the inner plans visible; it is
-# exactly what production does minus the final checkpoint hop, so the
-# join shapes audited here are the production shapes.
-os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
-
 KNOWN_BENIGN = {
     "ann_bruteforce_topk": (
         "build = 5-row query batch; NOT(query=vec) self-pair guard"
@@ -78,6 +68,18 @@ KNOWN_BENIGN = {
 
 
 def main() -> None:
+    # r15 (r14 ADVICE): this is a PLAN-ONLY sweep. Without the bypass,
+    # checkpoint_reduced_and_release roots ~10 queries' returned plans
+    # at a LogicalRDD leaf, hiding their inner join tree from this
+    # audit (a conditioned BNLJ upstream of the final aggregate would
+    # classify clean) — and eagerly EXECUTES each such query just to
+    # explain it. The bypass keeps the sweep lazy and the inner plans
+    # visible; the join shapes audited here are the production shapes
+    # minus the final checkpoint hop. Set INSIDE main(), never at
+    # import: tests import these tools for their helpers, and an
+    # import-time env mutation would bypass the checkpoint discipline
+    # for the whole test process.
+    os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
     from hdsp_hive_release_src_spark import registry
     from hdsp_hive_release_src_spark.plans import explain_str
     from hdsp_hive_release_src_spark.session import get_spark

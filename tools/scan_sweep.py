@@ -12,18 +12,18 @@ from __future__ import annotations
 import os
 import sys
 
-# r15 (r14 ADVICE): plan-only sweep — keep checkpoint-using queries
-# lazy and their inner Location leaves visible (see bnlj_audit.py).
-# NOTE this widens visibility vs the ≤r14 baseline: queries whose
-# final plan was checkpoint-rooted now expose their real scan leaves,
-# so a flag NEW relative to r14 needs adjudication (documented
-# multi-read vs regression), not automatic alarm.
-os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
-
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
 
 def main() -> None:
+    # r15 (r14 ADVICE): plan-only sweep — keep checkpoint-using
+    # queries lazy and their inner Location leaves visible (see
+    # bnlj_audit.py). This widens visibility vs the ≤r14 baseline, so
+    # a flag NEW relative to r14 needs adjudication, not automatic
+    # alarm. Set INSIDE main(), never at import (tests import these
+    # tools for helpers; an import-time env mutation would bypass the
+    # checkpoint discipline for the whole test process).
+    os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
     from hdsp_hive_release_src_spark import registry
     from hdsp_hive_release_src_spark.plans import explain_str
     from hdsp_hive_release_src_spark.session import get_spark

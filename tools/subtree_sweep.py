@@ -37,13 +37,6 @@ import re
 import sys
 from collections import Counter
 
-# r15 (r14 ADVICE): plan-only sweep — keep checkpoint-using queries
-# lazy and their inner operator trees visible (a repeated subtree
-# upstream of the final aggregate must not hide behind the LogicalRDD
-# leaf that checkpoint_reduced_and_release would otherwise root the
-# plan at). See tools/bnlj_audit.py for the full rationale.
-os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
-
 # queries whose repeated subtree IS the demonstrated semantics —
 # same adjudication style as SCAN_SWEEP by_design
 EXEMPT: dict[str, str] = {
@@ -209,6 +202,15 @@ def _flag(root: _Node) -> list[dict]:
 
 
 def main() -> None:
+    # r15 (r14 ADVICE): plan-only sweep — keep checkpoint-using
+    # queries lazy and their inner operator trees visible (a repeated
+    # subtree upstream of the final aggregate must not hide behind the
+    # LogicalRDD leaf checkpoint_reduced_and_release would otherwise
+    # root the plan at). Set INSIDE main(), never at import — tests
+    # import this module for its parser helpers, and an import-time
+    # env mutation would bypass the checkpoint discipline for the
+    # whole test process. See tools/bnlj_audit.py.
+    os.environ["SPARK_GRAFT_KEEP_PLAN"] = "1"
     from hdsp_hive_release_src_spark import registry
     from hdsp_hive_release_src_spark.plans import explain_str
     from hdsp_hive_release_src_spark.session import get_spark
