@@ -301,6 +301,40 @@ def _stress_overrides():
     }
 
 
+def _diag_counters(spark):
+    """(total_gc_ms, total_process_cpu_s) of the local-mode JVM, or
+    (None, None) if unreadable — diagnostics must never break the
+    bench. GC via the management MXBeans; CPU via /proc of the java
+    child process (OperatingSystemMXBean.getProcessCpuTime is
+    module-restricted to py4j reflection on Java 17)."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        beans = mf.getGarbageCollectorMXBeans()
+        gc_ms = sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+    except Exception:
+        gc_ms = None
+    cpu_s = None
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                # field 3 = ppid, 13/14 = utime/stime (clock ticks)
+                if int(parts[3]) == me and "java" in parts[1]:
+                    cpu_s = (int(parts[13]) + int(parts[14])) / 100.0
+                    break
+            except (OSError, ValueError, IndexError):
+                continue
+    except Exception:
+        pass
+    return gc_ms, cpu_s
+
+
 def _calibration(spark, runs: int = 2) -> float:
     """Constant-size in-memory groupBy (20M synthetic rows, 10k keys,
     32 partitions): best-of-``runs``, same protocol as the
@@ -400,6 +434,14 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     components.LAST_RUN_ROUNDS = None
     timings: dict[str, float] = {}
     shots: dict[str, list[float]] = {}
+    # r15: per-shot JVM diagnostics for the high-variance queries —
+    # when the documented multi-modal slow mode strikes (jaccard shots
+    # of 1.9-21.6 s on unchanged code), the artifact itself says
+    # whether the slow shot burned GC (gc_ms up), lost parallelism
+    # (cpu_over_wall collapses toward 1), or lost CPU entirely
+    # (cpu_s ≈ wall with low gc — external contention). Fast-mode
+    # reference on this box: gc ≈ 25-130 ms/shot, cpu_over_wall ≈ 20.
+    shot_diag: dict[str, list[dict]] = {}
     rows_per_sec: dict[str, float] = {}
     overrides = _stress_overrides()
     for name in STRESS_QUERIES:
@@ -429,10 +471,37 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             # eviction/spill tax (dedup_components was observed at
             # 9 s early-session vs 50 s after the tier grew).
             spark.catalog.clearCache()
+            diag0 = (
+                _diag_counters(spark)
+                if name in STRESS_HIGH_VARIANCE
+                else None
+            )
             t0 = time.time()
             n = fn(spark, dst).count()
             shot_s = time.time() - t0
             shots[name].append(round(shot_s, 3))
+            if diag0 is not None:
+                gc1, cpu1 = _diag_counters(spark)
+                shot_diag.setdefault(name, []).append(
+                    {
+                        "gc_ms": (
+                            gc1 - diag0[0]
+                            if None not in (gc1, diag0[0])
+                            else None
+                        ),
+                        "cpu_s": (
+                            round(cpu1 - diag0[1], 1)
+                            if None not in (cpu1, diag0[1])
+                            else None
+                        ),
+                        "cpu_over_wall": (
+                            round((cpu1 - diag0[1]) / shot_s, 1)
+                            if None not in (cpu1, diag0[1])
+                            and shot_s > 0
+                            else None
+                        ),
+                    }
+                )
             best = min(best, shot_s)
             if shot == 0 and time.time() - t_start + shot_s > budget:
                 # can't afford the confirming shot — cut the query
@@ -497,6 +566,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         "queries": timings,
         "shots": shots,
         "medians": medians,
+        "shot_diag": shot_diag,
         "overrides": STRESS_OVERRIDE_TAGS,
         "output_rows_per_sec": rows_per_sec,
         "value": total,
