@@ -302,8 +302,9 @@ def _stress_overrides():
 
 
 def _diag_counters(spark):
-    """(total_gc_ms, total_process_cpu_s) of the local-mode JVM, or
-    (None, None) if unreadable — diagnostics must never break the
+    """(total_gc_ms, total_process_cpu_s, total_jit_ms,
+    profiled_code_heap_usage) of the local-mode JVM; each None if
+    unreadable — diagnostics must never break the
     bench. GC via the management MXBeans; CPU via /proc of the java
     child process (OperatingSystemMXBean.getProcessCpuTime is
     module-restricted to py4j reflection on Java 17)."""
@@ -315,6 +316,37 @@ def _diag_counters(spark):
         )
     except Exception:
         gc_ms = None
+        mf = None
+    try:
+        # cumulative JIT time: a slow shot whose jit_ms delta rivals
+        # its wall is a compilation tail (deopt/recompile), not data
+        jit_ms = (
+            mf.getCompilationMXBean().getTotalCompilationTime()
+            if mf is not None
+            else None
+        )
+    except Exception:
+        jit_ms = None
+    try:
+        # profiled-nmethods code-heap occupancy: this segment filling
+        # flushes hot compiled code (methods then run interpreted —
+        # the measured 10x-CPU slow mode); occupancy near its max in
+        # a slow shot is the smoking gun. Raised to 512m total in
+        # session.py (r15).
+        code_mb = None
+        if mf is not None:
+            pools = mf.getMemoryPoolMXBeans()
+            for i in range(pools.size()):
+                p = pools.get(i)
+                if "profiled nmethods" in p.getName() and not p.getName().startswith("CodeHeap 'non-"):
+                    u = p.getUsage()
+                    code_mb = {
+                        "used": round(u.getUsed() / 2**20, 1),
+                        "max": round(u.getMax() / 2**20, 1),
+                    }
+                    break
+    except Exception:
+        code_mb = None
     cpu_s = None
     try:
         me = os.getpid()
@@ -332,7 +364,7 @@ def _diag_counters(spark):
                 continue
     except Exception:
         pass
-    return gc_ms, cpu_s
+    return gc_ms, cpu_s, jit_ms, code_mb
 
 
 def _calibration(spark, runs: int = 2) -> float:
@@ -481,7 +513,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             shot_s = time.time() - t0
             shots[name].append(round(shot_s, 3))
             if diag0 is not None:
-                gc1, cpu1 = _diag_counters(spark)
+                gc1, cpu1, jit1, code1 = _diag_counters(spark)
                 shot_diag.setdefault(name, []).append(
                     {
                         "gc_ms": (
@@ -500,6 +532,12 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
                             and shot_s > 0
                             else None
                         ),
+                        "jit_ms": (
+                            jit1 - diag0[2]
+                            if None not in (jit1, diag0[2])
+                            else None
+                        ),
+                        "code_heap_mb": code1,
                     }
                 )
             best = min(best, shot_s)

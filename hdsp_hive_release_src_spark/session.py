@@ -81,6 +81,24 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
+        # local mode compiles every whole-stage-codegen (Janino) class
+        # in the ONE driver JVM; a long session (bench + 10× stress,
+        # full-registry sweeps) accumulates thousands of generated
+        # classes against the JVM's default 240 MB segmented code
+        # cache. When the 'profiled nmethods' segment fills, the
+        # sweeper flushes hot compiled code and methods run
+        # interpreted until re-promoted — measured on this box as
+        # intermittent 10× CPU-bound slow shots (bench shot_diag r15:
+        # a 21.4 s jaccard shot burned 555 CPU-seconds vs ~55 warm, at
+        # full parallelism, flat GC, no JIT burst). 512m costs nothing
+        # at the 12g+ heaps this repo runs and removes the ceiling.
+        # Applies only when THIS call launches the JVM (first session
+        # in the process — true for bench/sweeps/tests; a foreign
+        # driver session keeps its own opts).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
