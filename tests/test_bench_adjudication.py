@@ -174,3 +174,38 @@ class TestTruncationProofSummary:
             "dedup_components",
         }
         assert STRESS_HIGH_VARIANCE <= set(STRESS_QUERIES)
+
+
+class TestCodeCacheMitigation:
+    """r15: the stress slow mode (intermittent 10x-CPU shots on
+    unchanged code, r12-r14) was A/B-confirmed as JVM code-cache
+    exhaustion — a 64m cache reproduced a 43.7 s / 844-CPU-s jaccard
+    shot that a 512m cache eliminated (tools/cc_ab_probe.py, SURVEY
+    §6). These pins keep the mitigation and its diagnostics wired."""
+
+    def test_get_spark_reserves_512m_code_cache(self, spark):
+        # config-level pin: works whether or not this session's JVM
+        # was launched by get_spark (the option must be REQUESTED; a
+        # foreign JVM ignores it by design)
+        from hdsp_hive_release_src_spark.session import get_spark
+
+        s = get_spark(app_name="cc_pin")
+        opts = s.conf.get("spark.driver.extraJavaOptions", "")
+        assert "-XX:ReservedCodeCacheSize=512m" in opts
+
+    def test_diag_counters_fail_soft_and_live(self, spark):
+        from bench import _diag_counters
+
+        gc_ms, cpu_s, jit_ms, code_mb = _diag_counters(spark)
+        # on the local-mode JVM all four should be readable
+        assert gc_ms is None or gc_ms >= 0
+        assert jit_ms is None or jit_ms >= 0
+        if code_mb is not None:
+            assert code_mb["max"] > 0
+
+        class Broken:
+            class sparkContext:
+                _jvm = None
+
+        g, c, j, cc = _diag_counters(Broken)
+        assert (g, j, cc) == (None, None, None)
