@@ -45,6 +45,44 @@ def persist_fact_rows(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deferred cache release (r16, r15 verdict item 5): a query whose
+# RESULT is row-per-input cannot release its fact-tier input cache at
+# return without forcing the consumer's action to recompute the input
+# (the r15 release-at-return trade: window_ntile / quantile_normalize
+# executed their pruned scan twice), and cannot keep it without a
+# session-lifetime leak (the r14 class). The missing lifecycle point
+# is "after the CONSUMER's collect" — which the query function never
+# sees. defer_release() parks the release; every harness entry point
+# (the registry's query wrapper, so the driver/bench/sweep loops flush
+# the PREVIOUS query's caches when they call the next one) flushes the
+# queue. Net: the driver-collected plan reads the one materialization
+# (single executed scan, counts/offsets and output rows consistent by
+# construction), and zero caches survive a query boundary.
+_PENDING_RELEASES: list = []
+
+
+def defer_release(release) -> None:
+    """Park a zero-arg cache release until the next query-boundary
+    flush (see block comment). Idempotent releases only — a flush may
+    run after clearCache/session teardown already dropped the cache."""
+    _PENDING_RELEASES.append(release)
+
+
+def flush_pending_releases() -> int:
+    """Run every parked release (fail-soft per item: a release against
+    a torn-down SparkContext must not break the next query) and return
+    how many were flushed."""
+    n = len(_PENDING_RELEASES)
+    while _PENDING_RELEASES:
+        release = _PENDING_RELEASES.pop()
+        try:
+            release()
+        except Exception:
+            pass  # dead context / already-unpersisted — nothing to drop
+    return n
+
+
+# ---------------------------------------------------------------------------
 # Automatic tier selection (r13 advice): operators that materialize a
 # CALLER-supplied frame (operators/ranking.py) cannot trust a comment
 # that "inputs are always reduced" — two call sites already pass full
@@ -131,7 +169,15 @@ def _register_if_checkpoint(df: DataFrame) -> DataFrame:
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            _REDUCED_CHECKPOINT_RDD_IDS.add(_checkpoint_key(plan))
+            key = _checkpoint_key(plan)
+            # r16 (r15 ADVICE): keys from dead applications can never
+            # match again (the applicationId is part of the key) —
+            # drop them here so the registry is bounded by one app's
+            # live checkpoints instead of growing for the process life
+            _REDUCED_CHECKPOINT_RDD_IDS.difference_update(
+                {k for k in _REDUCED_CHECKPOINT_RDD_IDS if k[0] != key[0]}
+            )
+            _REDUCED_CHECKPOINT_RDD_IDS.add(key)
     except Exception:
         pass  # unregistered ⇒ later classifications take the safe tier
     return df
@@ -228,6 +274,20 @@ def materialize_input(df: DataFrame):
     session hygiene — see operators/kmeans.py); it is a NO-OP for the
     checkpoint tier, whose blocks ARE the data (lineage severed —
     unpersisting them would lose the frame, not just the cache)."""
+    # r16 (r15 ADVICE): a frame whose root IS an already-registered
+    # checkpoint leaf is already materialized — re-checkpointing it
+    # copied the same blocks once per chained operator call (rfm's
+    # per_user rollup was re-localCheckpointed by each of its three
+    # exact_ntile calls). Return it unchanged; release stays a no-op.
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if (
+            plan.getClass().getSimpleName() == "LogicalRDD"
+            and _checkpoint_key(plan) in _REDUCED_CHECKPOINT_RDD_IDS
+        ):
+            return df, (lambda: None)
+    except Exception:
+        pass  # fall through to the normal tiers
     if is_reduced_rooted(df):
         return checkpoint_reduced(df), (lambda: None)
     out = persist_fact_rows(df)

@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdsp_hive_release_src_spark.operators.materialize import (
+    defer_release,
     materialize_input,
 )
 
@@ -74,10 +75,18 @@ def with_global_rank(
     pinned single executed scan. A non-reduced finalize result is
     returned lazily and the cache kept (the safe default). Without
     ``finalize``, the ranked frame is returned lazily and a fact-tier
-    input cache is released at return — the consumer's action then
-    recomputes the pruned input scan from DISK_ONLY's retained
-    lineage (one extra executed scan per action, the kmeans
-    default-path trade) and nothing is cached for the session."""
+    input cache release is DEFERRED to the next query-boundary flush
+    (materialize.defer_release — r16): the consumer's FIRST action
+    reads the same materialization the build collects read (single
+    executed scan; counts/offsets and output rows consistent even for
+    nondeterministic input lineage), then the harness flush drops the
+    cache, so nothing survives the query boundary. Contract: actions
+    taken AFTER the flush recompute the input from lineage — a
+    nondeterministic input (rand/sample/shuffle-order-sensitive
+    limit) can then disagree with the build's offsets (duplicate or
+    gapped ranks). Callers needing multi-flush reads of a
+    nondeterministic input must pass ``finalize`` (checkpointed — no
+    recompute window) or persist the input themselves."""
     # r13 subtree-audit fix: the operator consumes its input THREE
     # times (the percentile collect, the per-range count collect, the
     # ranked output), and chained calls compound — three exact_ntile
@@ -144,17 +153,17 @@ def with_global_rank(
             finalize(ranked, total), release
         )
         return out, total
-    # r15 (r14 verdict item 5): the no-finalize path releases the
-    # fact-tier input cache BEFORE returning the lazy row-per-input
-    # frame — the kmeans default-path trade. DISK_ONLY's retained
-    # lineage means the consumer's action recomputes the pruned input
-    # scan (one extra executed scan per action, pinned in
-    # tests/test_scan_counts.py) instead of the cache living for the
-    # session. Multi-action consumers that want the cache back should
-    # pass a finalize (released-after-checkpoint) or persist the
-    # returned frame themselves. Checkpoint-tier inputs are unaffected
-    # (release is a no-op — the blocks ARE the data).
-    release()
+    # r16 (r15 verdict item 5): the no-finalize path DEFERS the
+    # fact-tier input-cache release to the next query-boundary flush
+    # instead of dropping it at return (r15) or keeping it for the
+    # session (pre-r15). The consumer's collect reads the one
+    # materialization the build collects built — single executed scan
+    # (re-pinned at 1 in tests/test_scan_counts.py) and
+    # build/output consistency for free — and the harness flush
+    # (registry.py's query wrapper) unpersists right after.
+    # Checkpoint-tier inputs are unaffected (release is a no-op —
+    # the blocks ARE the data).
+    defer_release(release)
     return ranked, total
 
 
@@ -237,8 +246,8 @@ def range_prefix_sum(
     # consume df; tier chosen from the plan (reduced → localCheckpoint,
     # fact rows → DISK_ONLY persist). Every current caller passes a
     # reduced frame (release is then a no-op), but the fact tier gets
-    # the same release-at-return as with_global_rank's no-finalize
-    # path (r15) — no session-lifetime cache either way.
+    # the same deferred release as with_global_rank's no-finalize
+    # path (r16) — no cache survives the query boundary either way.
     df, release = materialize_input(df)
     fracs = [i / n_ranges for i in range(1, n_ranges)]
     brow = df.agg(
@@ -284,8 +293,8 @@ def range_prefix_sum(
             prefix + c,
             F.sum(c).over(w) + F.element_at(off_map, F.col("__rid")),
         )
-    # r15: same no-session-cache contract as with_global_rank's
+    # r16: same deferred-release contract as with_global_rank's
     # no-finalize path (no-op for the checkpoint tier every current
-    # caller takes)
-    release()
+    # caller takes) — see that path's comment for the lifecycle
+    defer_release(release)
     return out.drop("__rid")

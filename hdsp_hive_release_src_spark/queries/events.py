@@ -205,20 +205,19 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 subtree-audit fix: both as-of sides are filters of the SAME
     # fact table, so the tagged union executed two full events scans.
     # One narrow two-type projection persists DISK_ONLY (fact-row
-    # tier); each side is a cache read. r14 note: the output is
-    # row-per-purchase (NOT reduced), so the
-    # checkpoint_reduced_and_release hygiene cannot apply — the
-    # narrow cache stays until clearCache/session end, the documented
-    # trade (releasing it early would re-execute the scan per side).
-    # r15 note: the release-at-return shape adopted by the no-finalize
-    # ranking path does NOT apply here either — this operator has no
-    # build-time collects, so the cache is only built BY the
-    # consumer's action and saves a scan WITHIN it (both sides read
-    # one build); unpersisting at return would simply restore the
-    # two-scan plan. This is the one registry-wide documented
-    # retention (tests/test_materialize_tier.py::TestQueryCacheRelease
-    # pins it as the single exception).
+    # tier); each side is a cache read. The output is row-per-purchase
+    # (NOT reduced) and the cache is built BY the consumer's action
+    # (no build-time collects) — so releasing at return would restore
+    # the two-scan plan, and keeping it was (through r15) the one
+    # registry-wide documented retention. r16: the deferred-release
+    # boundary (operators/materialize.defer_release, flushed by the
+    # registry's query wrapper at the next call) closes it — the
+    # consumer's collect builds the cache and reads it from both
+    # sides, then the boundary flush unpersists. Zero documented
+    # retentions remain (runtime_sweep KNOWN_RETAINED_CACHES is
+    # empty; tests/test_materialize_tier.py pins the lifecycle).
     from hdsp_hive_release_src_spark.operators.materialize import (
+        defer_release,
         persist_fact_rows,
     )
 
@@ -227,6 +226,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "ts", "event_type"
         )
     )
+    defer_release(lambda: both.unpersist(blocking=False))
     purchases = both.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )

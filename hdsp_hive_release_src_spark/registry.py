@@ -5,6 +5,7 @@ SQL string. ``__spark_entry__.py`` re-exports these for the driver.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,12 +25,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     (region nation customer supplier part orders lineitem events
     documents embeddings). Omit it only for genuinely non-SQL ops —
     the driver then records a weaker rows-only check.
+
+    The REGISTERED callable (what the driver/bench/sweeps invoke via
+    ``QUERIES[name]``) is a thin wrapper that first flushes any cache
+    releases the PREVIOUS query deferred to its boundary
+    (operators/materialize.defer_release — r16): every harness runs
+    queries sequentially (call → collect → call next), so flushing at
+    call time releases each query's deferred caches right after its
+    consumer's collect. The raw function is returned unwrapped for
+    direct imports (tests composing query bodies).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def at_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hdsp_hive_release_src_spark.operators.materialize import (
+                flush_pending_releases,
+            )
+
+            flush_pending_releases()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = at_boundary
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
         return fn
@@ -58,23 +78,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 15: the registry is frozen, r14's 11 re-plans all landed green
-# (CORRECTNESS_r14 50/50), and this round's items are process-grade
-# (bench artifact shape, checkpoint-leaf verification, audit-tool
-# laziness) — none re-plan a registered query, so the tuple is empty
-# and the whole 50-slot window drains the staleness tail: all 31
-# remaining r2 names (22 TPC-H q-names, merge_upsert, and 8 §2.4
-# LLM-pipeline names) plus the 19 alphabetically-first r3 names.
-# After this window no row predates r3. Names appear below only if a
-# change alters the physical plan the driver sees.
+# round 16: registry still frozen at 494. The only driver-visible
+# re-plan this round is the deferred-release shape (r15 verdict item
+# 5): with_global_rank's no-finalize path now DEFERS its fact-tier
+# input-cache release to the next query-boundary flush instead of
+# dropping it at return, so the plan the driver executes reads the
+# InMemoryRelation again (executed scans back 2 → 1, re-pinned in
+# tests/test_scan_counts.py) and the counts/offsets and output rows
+# come from ONE materialization. Values identical; the two
+# row-per-input callers re-certify first. The rest of the 50-slot
+# window continues the staleness drain: all 23 r3 names plus the 25
+# alphabetically-first r4 names. After this window no row predates r4.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r14 verdict item 5: with_global_rank's no-finalize path now
-    # releases its fact-tier input cache at return (the kmeans
-    # default-path trade) — these two row-per-input callers no longer
-    # leave a session-lifetime DISK_ONLY persist, and the plan the
-    # driver executes reads the pruned scan instead of an
-    # InMemoryRelation. Values identical; executed scans 1 → 2
-    # (pinned in tests/test_scan_counts.py).
     "window_ntile",
     "quantile_normalize",
 )

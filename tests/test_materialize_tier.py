@@ -157,16 +157,49 @@ class TestTierRouting:
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" in plan
 
+    def test_registered_checkpoint_input_not_rematerialized(
+        self, spark, sf_dir
+    ):
+        # r16 (r15 ADVICE): a frame whose root IS an already-registered
+        # checkpoint leaf is already materialized — chained operator
+        # calls (rfm's per_user feeding three exact_ntiles) must reuse
+        # its blocks, not copy them with a fresh localCheckpoint per
+        # call. Same-object return ⇒ same underlying RDD.
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            checkpoint_reduced,
+        )
+
+        ck = checkpoint_reduced(
+            _orders(spark, sf_dir)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        out, release = materialize_input(ck)
+        assert out is ck
+        release()  # no-op
+        assert out.count() > 0
+        # a DERIVED frame (projection on top) still re-materializes —
+        # the fast path is root-leaf only
+        derived, release2 = materialize_input(ck.select("o_custkey"))
+        assert derived is not ck
+        release2()
+
     def test_ranking_routes_fact_input_to_persist(self, spark, sf_dir):
         # fact input: persisted DISK_ONLY for the two build collects,
-        # RELEASED at return (r15 no-finalize path) — the returned
-        # plan reads the pruned scan (no lingering InMemoryRelation),
-        # never a checkpoint RDD leaf, and no session cache remains
+        # release DEFERRED to the query-boundary flush (r16 —
+        # r15 verdict item 5): at return the cache is STILL LIVE, so
+        # the consumer's first action reads the build's
+        # materialization (single executed scan; offsets and output
+        # rows from one snapshot), and the boundary flush drops it
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            flush_pending_releases,
+        )
         from hdsp_hive_release_src_spark.operators.ranking import (
             with_global_rank,
         )
 
         spark.catalog.clearCache()
+        flush_pending_releases()
         before = _disk_only_rdd_count(spark)
         df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
         ranked, total = with_global_rank(
@@ -175,27 +208,39 @@ class TestTierRouting:
         assert total == df.count()
         plan = ranked._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" not in plan
-        assert "InMemoryRelation" not in plan
+        # the cache is alive until the boundary: the consumer's read
+        # hits it rather than re-executing the pruned scan
+        assert _disk_only_rdd_count(spark) == before + 1
+        assert ranked.count() == total
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        assert flush_pending_releases() >= 1
         assert _disk_only_rdd_count(spark) == before
-        # the released-lineage read still produces the full ranking
+        # post-flush reads recompute from DISK_ONLY's retained lineage
         assert ranked.count() == total
 
     def test_prefix_sum_releases_fact_cache(self, spark, sf_dir):
-        # r15: range_prefix_sum has the same no-session-cache contract
-        # as with_global_rank's no-finalize path — a fact-tier input is
-        # persisted for the two build collects, released at return
+        # r16: range_prefix_sum shares with_global_rank's deferred
+        # boundary contract — fact-tier input persisted for the two
+        # build collects, alive through the consumer's action, dropped
+        # by the boundary flush
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            flush_pending_releases,
+        )
         from hdsp_hive_release_src_spark.operators.ranking import (
             range_prefix_sum,
         )
 
         spark.catalog.clearCache()
+        flush_pending_releases()
         before = _disk_only_rdd_count(spark)
         df = _orders(spark, sf_dir).select("o_totalprice", "o_orderkey")
         out = range_prefix_sum(
             df, "o_totalprice", ["o_orderkey"], ["o_totalprice"]
         )
+        assert _disk_only_rdd_count(spark) == before + 1
+        assert out.count() == df.count()
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        flush_pending_releases()
         assert _disk_only_rdd_count(spark) == before
         assert out.count() == df.count()
 
@@ -291,13 +336,15 @@ def _disk_only_rdd_count(spark) -> int:
 
 class TestQueryCacheRelease:
     # every registered query that DISK_ONLY-persists a fact-row
-    # intermediate must release the cache before returning — reduced
-    # finals via checkpoint_reduced_and_release (r14), row-per-input
-    # ranking outputs via the no-finalize release-at-return path
-    # (r15, verdict item 5). The ONE documented exception registry-
-    # wide is asof_join_events_orders, whose cache is built BY the
-    # consumer's action and saves a scan within it (see events.py) —
-    # pinned below so a second exception can't appear silently.
+    # intermediate must leave ZERO session caches once its lifecycle
+    # completes — reduced finals release in-query via
+    # checkpoint_reduced_and_release (r14); row-per-input consumers
+    # (the no-finalize ranking callers, asof's consumer-built
+    # projection) defer their release to the query-boundary flush the
+    # registry wrapper runs at the next call (r16, r15 verdict
+    # item 5). There are NO documented retentions left registry-wide
+    # (runtime_sweep.KNOWN_RETAINED_CACHES is empty and the sweep
+    # checks all 494 names each round).
     RELEASING = [
         "conformal_prediction_interval",
         "rake_keyword_phrases",
@@ -308,8 +355,9 @@ class TestQueryCacheRelease:
         "histogram_equi_depth",
         "trimmed_mean",
         "kmeans_clusters",
-        # r15: released at return by with_global_rank's no-finalize
-        # path; the driver's collect recomputes the pruned scan
+        # r16: deferred by with_global_rank's no-finalize path; the
+        # driver's collect reads the build materialization (single
+        # executed scan) and the boundary flush drops the cache
         "window_ntile",
         "quantile_normalize",
         "rfm_segmentation",
@@ -320,13 +368,26 @@ class TestQueryCacheRelease:
         # DISK_ONLY persist by runtime_sweep's cache-hygiene check;
         # fixed via checkpoint_reduced (round9m.py)
         "abc_pareto_class",
+        # r16: the former single documented retention — its
+        # consumer-built two-type projection now unpersists at the
+        # boundary flush instead of living for the session
+        "asof_join_events_orders",
     ]
 
-    def test_asof_is_the_only_documented_retention(self, spark, sf_dir):
+    def test_asof_cache_lives_to_the_boundary_then_releases(
+        self, spark, sf_dir
+    ):
+        # the cache is built BY the consumer's action and saves a scan
+        # WITHIN it (both as-of sides read one build) — so it must be
+        # live after collect and gone after the boundary flush
         from hdsp_hive_release_src_spark import registry
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            flush_pending_releases,
+        )
 
         registry.load_all()
         spark.catalog.clearCache()
+        flush_pending_releases()
         before = _disk_only_rdd_count(spark)
         rows = registry.QUERIES["asof_join_events_orders"](
             spark, sf_dir
@@ -334,20 +395,65 @@ class TestQueryCacheRelease:
         assert rows
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
         assert _disk_only_rdd_count(spark) == before + 1
+        assert flush_pending_releases() >= 1
+        assert _disk_only_rdd_count(spark) == before
+
+    def test_registry_wrapper_flushes_at_next_call(self, spark, sf_dir):
+        # the harness boundary itself: calling the NEXT query through
+        # the registry releases the previous query's deferred caches
+        # (driver/bench/sweeps all run call → collect → call next)
+        from hdsp_hive_release_src_spark import registry
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            flush_pending_releases,
+        )
+
+        registry.load_all()
         spark.catalog.clearCache()
+        flush_pending_releases()
+        before = _disk_only_rdd_count(spark)
+        out = registry.QUERIES["window_ntile"](spark, sf_dir)
+        assert _disk_only_rdd_count(spark) == before + 1
+        assert out.count() > 0
+        # building (not even running) the next query flushes
+        registry.QUERIES["q6_revenue_forecast"](spark, sf_dir)
+        assert _disk_only_rdd_count(spark) == before
+
+    def test_flush_is_failsoft(self):
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            defer_release,
+            flush_pending_releases,
+        )
+
+        flush_pending_releases()
+
+        def boom():
+            raise RuntimeError("dead context")
+
+        hits = []
+        defer_release(boom)
+        defer_release(lambda: hits.append(1))
+        assert flush_pending_releases() == 2
+        assert hits == [1]
+        assert flush_pending_releases() == 0
 
     def test_reduced_output_queries_leave_no_disk_cache(
         self, spark, sf_dir
     ):
         from hdsp_hive_release_src_spark import registry
+        from hdsp_hive_release_src_spark.operators.materialize import (
+            flush_pending_releases,
+        )
 
         registry.load_all()
         for name in self.RELEASING:
             spark.catalog.clearCache()
+            flush_pending_releases()
             before = _disk_only_rdd_count(spark)
             rows = registry.QUERIES[name](spark, sf_dir).collect()
             assert rows, name
             spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+            # the completed lifecycle: collect + boundary flush
+            flush_pending_releases()
             assert _disk_only_rdd_count(spark) == before, name
 
 

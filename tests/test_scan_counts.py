@@ -461,14 +461,15 @@ RUNTIME_SCANS = {
     # user-grain rollup.
     "rfm_segmentation": {"events": 1},
     "histogram_equi_depth": {"orders": 1},
-    # r15: the two no-finalize ranking callers (row-per-input output)
-    # release the fact-tier input cache at return instead of leaving a
-    # session-lifetime DISK_ONLY persist — the final read recomputes
-    # the pruned scan from lineage (verdict item 5; the kmeans
-    # default-path trade). 1 build scan + 1 output scan.
-    "window_ntile": {"customer": 2},
+    # r16: the two no-finalize ranking callers (row-per-input output)
+    # are back to ONE executed scan — the input cache release is
+    # DEFERRED to the query-boundary flush (r15 verdict item 5), so
+    # the consumer's collect reads the build's materialization instead
+    # of recomputing the pruned scan (the r15 trade), and the flush
+    # drops the cache right after. Zero session retention either way.
+    "window_ntile": {"customer": 1},
     "gini_concentration_index": {"orders": 1},
-    "quantile_normalize": {"orders": 2},
+    "quantile_normalize": {"orders": 1},
     "trimmed_mean": {"orders": 1},
     "roc_auc_exact": {"orders": 1},
     # iterative-ML input persisted DISK_ONLY: seed collect + per-round

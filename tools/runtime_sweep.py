@@ -19,10 +19,11 @@ document.
 
 r15: the sweep also checks SESSION-CACHE HYGIENE per query (verdict
 item 5 registry-wide): a DISK_ONLY persist still registered after a
-query's collect is a session leak unless the name is in
-KNOWN_RETAINED_CACHES (single documented exception:
-asof_join_events_orders). This extends the r14
-TestQueryCacheRelease sample to every one of the 494 names.
+query's completed lifecycle (collect + the r16 deferred-release
+boundary flush) is a session leak. KNOWN_RETAINED_CACHES is EMPTY as
+of r16 — the deferral boundary closed the asof exception. This
+extends the r14 TestQueryCacheRelease sample to every one of the
+494 names.
 
 Usage: PYTHONPATH=/root/repo python tools/runtime_sweep.py [sf] [round]
 Writes tools/RUNTIME_SWEEP_r{round}.json.
@@ -100,19 +101,15 @@ WHY = {
 }
 
 
-# r15 (verdict item 5): queries allowed to end with a retained
-# DISK_ONLY persist. Everything else in the registry must leave ZERO
-# session-lifetime disk caches after its collect — the sweep checks
-# every one of the 494 names per round, so a new retention is a
-# regression by construction, never a silent documented exception.
-KNOWN_RETAINED_CACHES = {
-    "asof_join_events_orders": (
-        "the two-type projection cache is built BY the consumer's "
-        "action and saves a scan WITHIN it (no build-time collects); "
-        "releasing at return would restore the two-scan plan — see "
-        "queries/events.py"
-    ),
-}
+# r16: EMPTY — the deferred-release boundary (operators/materialize.
+# defer_release, flushed by the registry's query wrapper at the next
+# call) closed the one r15 exception (asof_join_events_orders: its
+# consumer-built cache now unpersists at the query boundary instead
+# of living for the session). The sweep replicates the harness
+# boundary — collect, then flush_pending_releases() — before counting
+# retained caches, so a persist that is neither released in-query nor
+# registered for deferral is flagged on every one of the 494 names.
+KNOWN_RETAINED_CACHES: dict[str, str] = {}
 
 
 def _disk_only_rdd_count(spark) -> int:
@@ -130,6 +127,9 @@ def _disk_only_rdd_count(spark) -> int:
 
 def main() -> None:
     from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.operators.materialize import (
+        flush_pending_releases,
+    )
     from hdsp_hive_release_src_spark.plans.runtime import (
         executed_scans,
         snapshot_executions,
@@ -156,6 +156,12 @@ def main() -> None:
             errors[name] = f"{type(ex).__name__}: {ex}"[:120]
             continue
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        # the harness boundary: the driver/bench release deferred
+        # caches when they call the NEXT query; the sweep flushes
+        # explicitly so the retained count below measures what
+        # survives a completed query lifecycle, not the gap between
+        # collect and the next call
+        flush_pending_releases()
         retained = _disk_only_rdd_count(spark) - cache_before
         if retained > 0:
             if name in KNOWN_RETAINED_CACHES:
