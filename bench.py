@@ -227,6 +227,11 @@ def _summary(out: dict) -> dict:
         "stress_components_median_s": stress.get("medians", {}).get(
             "dedup_components"
         ),
+        # r16: the environment adjudication survives truncation too —
+        # a degraded-box record names its cause at the line's tail
+        "stress_env_flags": stress.get("env_flags"),
+        "stress_io_probe_s": stress.get("io_probe_s"),
+        "stress_io_probe_post_s": stress.get("io_probe_post_s"),
         "stress_error": out.get("stress_error"),
     }
 
@@ -287,6 +292,51 @@ STRESS_OVERRIDE_TAGS = {"heavy_hitters_topk": "den=400"}
 # round-over-round series tracks the MEDIAN for these two (SURVEY §6),
 # best for everything else.
 STRESS_HIGH_VARIANCE = {"dedup_ngram_jaccard", "dedup_components"}
+
+# r16 (r15 verdict item 1): the uniform-tier blind spot. BENCH_r15's
+# driver capture read 35.0 s with noisy:false — every per-query shot
+# spread and both CPU probes passed because the WHOLE tier was
+# steadily ~2× slow (judge-adjudicated to box I/O: the in-memory
+# calibration never touches disk, the tier reads a 10×-sf0.1 replica).
+# Two in-band detectors close it:
+#   * an I/O probe — wall-clock of a fixed full read of the replica's
+#     orders table (physical layout pinned in _COMPLETE, so the bytes
+#     are constant) taken pre/post tier; a cold page cache or slow
+#     disk shows here even when the CPU probe is fast. Clean-box
+#     reference committed below.
+#   * a committed clean-record band for the stress total (r14-r15
+#     clean records: judge 17.10/18.06/18.18 s, builder 18.86/20.25 s)
+#     — a total beyond 1.5× band-high flags the record even when
+#     every per-shot check passes.
+# Either firing sets noisy:true and names the cause in "env_flags".
+STRESS_CLEAN_BAND_S = (17.0, 20.5)
+# clean-box reference, measured r16 on the pinned replica: warm
+# best-of-2 reads of 0.22-0.26 s, coldest observed single shot 0.50 s;
+# the flag needs BOTH the pre and post pair (each best-of-2) above
+# 1.5× this, so a lone cold read never fires
+IO_PROBE_REF_S = 0.35
+
+
+def _io_probe(spark, replica_dir: str) -> float:
+    """Wall-clock of a full byte-read of the replica's orders table
+    (xxhash over EVERY column defeats parquet's count-only path and
+    column pruning, so all row groups are actually decoded from
+    disk/page cache). Best-of-2, like the CPU probe: the signal is
+    sustained I/O degradation, not one cold read."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{replica_dir}/orders.parquet")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        # cast before summing: a long sum of hashes overflows ANSI
+        # arithmetic; the value is discarded anyway — only the bytes
+        # read matter
+        df.agg(
+            F.sum(F.xxhash64(*df.columns).cast("double")).alias("h")
+        ).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def _stress_overrides():
@@ -358,7 +408,8 @@ def _diag_counters(spark):
                     parts = f.read().split()
                 # field 3 = ppid, 13/14 = utime/stime (clock ticks)
                 if int(parts[3]) == me and "java" in parts[1]:
-                    cpu_s = (int(parts[13]) + int(parts[14])) / 100.0
+                    hz = os.sysconf("SC_CLK_TCK") or 100
+                    cpu_s = (int(parts[13]) + int(parts[14])) / hz
                     break
             except (OSError, ValueError, IndexError):
                 continue
@@ -388,6 +439,37 @@ def _calibration(spark, runs: int = 2) -> float:
         )
         best = min(best, time.time() - t0)
     return round(best, 3)
+
+
+def _env_flags(
+    total: float,
+    timings: dict,
+    io_probe_s: float,
+    io_probe_post_s: float,
+) -> list[str]:
+    """r16 environment adjudication (r15 verdict item 1): a uniformly
+    slow tier passes every per-shot check (spreads flat, CPU probes
+    fast), so flag on (a) the I/O probe sustaining >1.5× its committed
+    clean reference, or (b) the tier total landing beyond 1.5× the
+    committed clean-record band-high. (b) fires only when NO query was
+    budget-cut — a partial tier total is legitimately unlike the
+    band."""
+    flags = []
+    if min(io_probe_s, io_probe_post_s) > IO_PROBE_REF_S * 1.5:
+        flags.append(
+            f"io-degraded box: io_probe {io_probe_s}/"
+            f"{io_probe_post_s}s vs clean ref {IO_PROBE_REF_S}s"
+        )
+    if (
+        timings
+        and all(v > 0 for v in timings.values())
+        and total > STRESS_CLEAN_BAND_S[1] * 1.5
+    ):
+        flags.append(
+            f"uniform-tier slowdown: total {total}s beyond 1.5x "
+            f"clean band {STRESS_CLEAN_BAND_S}"
+        )
+    return flags
 
 
 def _stress_10x(registry, spark, t_start: float, budget: float):
@@ -458,6 +540,11 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     stress_calibration_s = _calibration(spark, runs=3)
     print(f"# stress calibration: {stress_calibration_s}s",
           file=sys.stderr)
+    # I/O probe pre-tier (r16, see STRESS_CLEAN_BAND_S comment): the
+    # CPU probe cannot sense a cold page cache / slow disk; this one
+    # reads real replica bytes
+    io_probe_s = _io_probe(spark, dst)
+    print(f"# stress io probe: {io_probe_s}s", file=sys.stderr)
     from hdsp_hive_release_src_spark.operators import components
 
     # Reset so components_star_rounds below can only reflect the
@@ -466,13 +553,14 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     components.LAST_RUN_ROUNDS = None
     timings: dict[str, float] = {}
     shots: dict[str, list[float]] = {}
-    # r15: per-shot JVM diagnostics for the high-variance queries —
-    # when the documented multi-modal slow mode strikes (jaccard shots
-    # of 1.9-21.6 s on unchanged code), the artifact itself says
-    # whether the slow shot burned GC (gc_ms up), lost parallelism
-    # (cpu_over_wall collapses toward 1), or lost CPU entirely
-    # (cpu_s ≈ wall with low gc — external contention). Fast-mode
-    # reference on this box: gc ≈ 25-130 ms/shot, cpu_over_wall ≈ 20.
+    # r15: per-shot JVM diagnostics; r16 extends them to EVERY stress
+    # query (verdict item 1 — they are nearly free, and the r15 driver
+    # capture would have been self-explaining with them): each shot
+    # records whether slowness burned GC (gc_ms up), lost parallelism
+    # (cpu_over_wall collapses toward 1), lost CPU entirely (cpu_s ≈
+    # wall with low gc — external contention), or ran at full CPU and
+    # still crawled (the I/O signature). Fast-mode reference on this
+    # box: gc ≈ 25-130 ms/shot, cpu_over_wall ≈ 16-23.
     shot_diag: dict[str, list[dict]] = {}
     rows_per_sec: dict[str, float] = {}
     overrides = _stress_overrides()
@@ -503,11 +591,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             # eviction/spill tax (dedup_components was observed at
             # 9 s early-session vs 50 s after the tier grew).
             spark.catalog.clearCache()
-            diag0 = (
-                _diag_counters(spark)
-                if name in STRESS_HIGH_VARIANCE
-                else None
-            )
+            diag0 = _diag_counters(spark)
             t0 = time.time()
             n = fn(spark, dst).count()
             shot_s = time.time() - t0
@@ -580,6 +664,8 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     stress_calibration_post_s = _calibration(spark, runs=3)
     print(f"# stress calibration post: {stress_calibration_post_s}s",
           file=sys.stderr)
+    io_probe_post_s = _io_probe(spark, dst)
+    print(f"# stress io probe post: {io_probe_post_s}s", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v > 0), 3)
     # median per high-variance query (the tracked number for these —
     # best-of-N on a multi-modal distribution samples a mode; the
@@ -631,10 +717,18 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             if stress_calibration_s and stress_calibration_post_s
             else None
         ),
+        "io_probe_s": io_probe_s,
+        "io_probe_post_s": io_probe_post_s,
+        "io_probe_ref_s": IO_PROBE_REF_S,
+        "clean_band_s": list(STRESS_CLEAN_BAND_S),
         "noisy": bool(noisy_queries) or probe_drift > 1.5,
         "noisy_queries": noisy_queries,
         "probe_drift": round(probe_drift, 2),
     }
+    env_flags = _env_flags(total, timings, io_probe_s, io_probe_post_s)
+    out["env_flags"] = env_flags
+    if env_flags:
+        out["noisy"] = True
     # Realized star-components round count — a convergence regression
     # (e.g. a canonicalization bug doubling rounds) shows up in-band
     # instead of only as wall-clock. Emitted only when the stress-tier

@@ -94,10 +94,16 @@ def get_spark(
         # at the 12g+ heaps this repo runs and removes the ceiling.
         # Applies only when THIS call launches the JVM (first session
         # in the process — true for bench/sweeps/tests; a foreign
-        # driver session keeps its own opts).
+        # driver session keeps its own opts). r16 (r15 ADVICE): a
+        # deployment's own driver JVM options (GC flags etc.) come
+        # through SPARK_GRAFT_DRIVER_JAVA_OPTS and are PREPENDED, not
+        # clobbered — mirroring driver.memory's env escape hatch.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                + " -XX:ReservedCodeCacheSize=512m"
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
     )

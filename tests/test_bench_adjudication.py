@@ -176,6 +176,74 @@ class TestTruncationProofSummary:
         assert STRESS_HIGH_VARIANCE <= set(STRESS_QUERIES)
 
 
+class TestEnvAdjudication:
+    """r16 (r15 verdict item 1): the uniform-tier blind spot. The r15
+    driver capture (stress 35.0 s, noisy:false, judge-adjudicated to
+    18.2 s box I/O) passed both per-shot checks because every query
+    was steadily ~2× slow while the in-memory probe stayed fast. The
+    env adjudication must flag exactly that record."""
+
+    def test_the_r15_driver_capture_flags(self):
+        # the historical record: 35.0 s total, all queries ran, I/O
+        # probe unavailable then — simulate a degraded-disk reading
+        from bench import _env_flags
+
+        flags = _env_flags(
+            35.021, {"q1_pricing_summary": 2.0}, 1.2, 1.4
+        )
+        assert any("io-degraded" in f for f in flags)
+        assert any("uniform-tier slowdown" in f for f in flags)
+
+    def test_clean_record_carries_no_flags(self):
+        from bench import IO_PROBE_REF_S, _env_flags
+
+        assert _env_flags(
+            18.2, {"q1_pricing_summary": 2.0}, IO_PROBE_REF_S,
+            IO_PROBE_REF_S * 1.2,
+        ) == []
+
+    def test_one_transient_slow_probe_is_not_degradation(self):
+        # min-of-pair: a single cold probe with a fast twin is warmup,
+        # not a sustained I/O problem
+        from bench import IO_PROBE_REF_S, _env_flags
+
+        assert _env_flags(
+            18.2, {"q1": 2.0}, IO_PROBE_REF_S * 3, IO_PROBE_REF_S
+        ) == []
+
+    def test_budget_cut_tier_skips_the_band_check(self):
+        # a partial total is legitimately unlike the band; the I/O
+        # check still applies
+        from bench import IO_PROBE_REF_S, _env_flags
+
+        flags = _env_flags(
+            35.0, {"q1": 2.0, "q5": -1.0}, IO_PROBE_REF_S,
+            IO_PROBE_REF_S,
+        )
+        assert flags == []
+
+    def test_io_probe_reads_real_bytes(self, spark):
+        # smoke: the probe runs against any dir holding orders.parquet
+        # and returns a positive wall-clock
+        from bench import _io_probe
+
+        assert _io_probe(spark, "/root/testdata/sf0.001") > 0
+
+    def test_summary_carries_env_flags(self):
+        from bench import _summary
+
+        rec = dict(TestTruncationProofSummary.RECORD)
+        stress = dict(rec["stress_10x"])
+        stress["env_flags"] = ["io-degraded box: ..."]
+        stress["io_probe_s"] = 1.2
+        stress["io_probe_post_s"] = 1.4
+        rec["stress_10x"] = stress
+        s = _summary(rec)
+        assert s["stress_env_flags"] == ["io-degraded box: ..."]
+        assert s["stress_io_probe_s"] == 1.2
+        assert s["stress_io_probe_post_s"] == 1.4
+
+
 class TestCodeCacheMitigation:
     """r15: the stress slow mode (intermittent 10x-CPU shots on
     unchanged code, r12-r14) was A/B-confirmed as JVM code-cache
@@ -192,6 +260,21 @@ class TestCodeCacheMitigation:
         s = get_spark(app_name="cc_pin")
         opts = s.conf.get("spark.driver.extraJavaOptions", "")
         assert "-XX:ReservedCodeCacheSize=512m" in opts
+
+    def test_driver_java_opts_env_is_appended(self, spark, monkeypatch):
+        # r16 (r15 ADVICE): a deployment's own driver JVM options must
+        # survive — the code-cache flag appends to, never replaces,
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS
+        from hdsp_hive_release_src_spark.session import get_spark
+
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseG1GC")
+        s = get_spark(app_name="cc_env_pin")
+        opts = s.conf.get("spark.driver.extraJavaOptions", "")
+        assert opts == "-XX:+UseG1GC -XX:ReservedCodeCacheSize=512m"
+        # restore the default requested opts for later tests in this
+        # shared session
+        monkeypatch.delenv("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+        get_spark(app_name="cc_env_pin_restore")
 
     def test_diag_counters_fail_soft_and_live(self, spark):
         from bench import _diag_counters

@@ -48,7 +48,7 @@ def cpu_s():
         try:
             with open(f"/proc/{pid}/stat") as f: parts = f.read().split()
             if int(parts[3]) == me and "java" in parts[1]:
-                return (int(parts[13])+int(parts[14]))/100.0
+                return (int(parts[13])+int(parts[14]))/(os.sysconf('SC_CLK_TCK') or 100)
         except (OSError, ValueError, IndexError): continue
     return 0.0
 
