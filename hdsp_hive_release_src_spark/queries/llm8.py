@@ -232,8 +232,15 @@ def _dsir_oracle() -> str:
     1-ulp ``ln`` divergence between libm implementations cannot
     survive the quantization), (3) a per-doc fold over the
     bucket-sorted term list — identical doubles added in identical
-    order are bit-identical in IEEE arithmetic, so ``round(_, 4)``
-    can no longer straddle a boundary differently per engine."""
+    order are bit-identical in IEEE arithmetic. r16: the OUTPUT
+    rounds to 6 decimals, not 4 — the true sum is an exact multiple
+    of 1e-6 (integer counts × 6dp-grid ratios), so 6dp rounding
+    recovers the grid point identically in both engines, while a 4dp
+    round can land exactly on a half-boundary where the engines'
+    rounding PRIMITIVES disagree on the same double (measured at
+    sf0.1, doc 2074: fold = 0.057249999999999995; DuckDB's
+    multiply-shift sees 572.5 exactly → 0.0573, Java BigDecimal sees
+    the sub-boundary decimal → 0.0572)."""
     bucket = (
         "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1"
         " AS BIGINT) * 4"
@@ -262,7 +269,7 @@ def _dsir_oracle() -> str:
            round(list_reduce(
                  list_prepend(CAST(0.0 AS DOUBLE),
                               list(cnt.n * r.lr ORDER BY cnt.b)),
-                 (acc, x) -> acc + x), 4) AS dsir_logweight
+                 (acc, x) -> acc + x), 6) AS dsir_logweight
     FROM cnt JOIN ratio r ON cnt.b = r.b
     GROUP BY cnt.doc_id ORDER BY cnt.doc_id
     """
@@ -289,8 +296,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals (a 1-ulp libm ``ln`` divergence cannot survive the
     quantization) → per-doc weight as a bucket-sorted left fold with
     a 0.0 seed, mirrored term-for-term in the DuckDB twin — identical
-    doubles added in identical order are bit-identical, so the final
-    ``round(_, 4)`` agrees across engines by construction."""
+    doubles added in identical order are bit-identical, so both
+    engines round the SAME double. r16: the output round moved
+    4dp → 6dp. The true sum is an exact 1e-6 grid multiple (integer
+    counts × 6dp-grid ratios), so a 4dp round can land exactly on a
+    half-boundary — where the engines' rounding PRIMITIVES disagree
+    on the identical double (caught by the r16 sf0.1 parity
+    spot-check, doc 2074: fold = 0.057249999999999995, DuckDB's
+    multiply-shift round saw 572.5 exactly → 0.0573, Java BigDecimal
+    saw the sub-boundary exact decimal → 0.0572). A 6dp round always
+    targets the grid point itself, which both primitives recover
+    identically."""
     d = Catalog(spark, sf_dir).documents
     tok = d.select(
         "doc_id",
@@ -365,7 +381,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x["term"],
                 ),
-                4,
+                6,
             ).alias("dsir_logweight"),
         )
         .orderBy("doc_id")

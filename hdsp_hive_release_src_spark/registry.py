@@ -86,12 +86,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # InMemoryRelation again (executed scans back 2 → 1, re-pinned in
 # tests/test_scan_counts.py) and the counts/offsets and output rows
 # come from ONE materialization. Values identical; the two
-# row-per-input callers re-certify first. The rest of the 50-slot
-# window continues the staleness drain: all 23 r3 names plus the 25
-# alphabetically-first r4 names. After this window no row predates r4.
+# row-per-input callers re-certify first. dsir_importance_weights
+# re-certifies too: the r16 sf0.1 parity spot-check caught its 4dp
+# output round landing exactly on a half-boundary the two engines'
+# rounding primitives resolve differently (llm8.py docstring); the
+# output now rounds at the exact 1e-6 grid (values changed in the
+# 5th/6th decimal). The rest of the 50-slot window continues the
+# staleness drain: all 23 r3 names plus the 24 alphabetically-first
+# r4 names. After this window no row predates r4.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "window_ntile",
     "quantile_normalize",
+    "dsir_importance_weights",
 )
 
 # Empty as of r11: every registered query now has a driver correctness
