@@ -15,7 +15,6 @@ renderings the driver canonicalizes through (see tools/check_oracle).
 from __future__ import annotations
 
 import json
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,9 +122,16 @@ def explain_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation node — that number is what join reordering and broadcast
     selection key on, so this checks the CBO actually SEES the stats,
     not merely that the catalog stores them (analyze_table_stats
-    covers storage). The rowCounts are parsed from the optimized
-    logical plan of a two-table join and compared against exact
-    counts; plan text is driver-side metadata (one string)."""
+    covers storage). The rowCounts are read from the optimized
+    logical plan of a two-table join via the plan-statistics API
+    (leaf.stats().rowCount()) and compared against exact counts —
+    driver-side metadata only. r16: the API replaced a regex over the
+    EXPLAIN COST text; the full-registry sf0.1 parity sweep caught
+    the text rendering stats at 3 SIGNIFICANT DIGITS
+    (rowCount=2.94E+3 for the exact catalog value 2943), which is
+    lossless at the sf0.01 gate (≤3-digit counts) and silently lossy
+    at any real scale — exactly the class a plan-text parse invites
+    and the API cannot exhibit."""
     c = Catalog(spark, sf_dir).customer
     o = Catalog(spark, sf_dir).orders
     spark.conf.set("spark.sql.cbo.enabled", "true")
@@ -138,25 +144,30 @@ def explain_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.write.saveAsTable("cbo_orders")
         for t in ("cbo_customer", "cbo_orders"):
             spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
-        plan = spark.sql(
-            "EXPLAIN COST SELECT o.o_orderkey FROM cbo_customer c "
-            "JOIN cbo_orders o ON c.c_custkey = o.o_custkey"
-        ).collect()[0][0]
-        out = []
-        for t in ("cbo_customer", "cbo_orders"):
-            # Anchor to the relation LEAF line (r8 advice): a free
-            # `.*?rowCount=` over the whole dump binds the first
-            # Statistics after any textual mention of the name —
-            # possibly a join/filter node's — if plan layout shifts.
-            # The leaf prints name and Statistics on ONE line.
-            m = re.search(
-                rf"^[^\n]*Relation[^\n]*\b{t}\b[^\n]*"
-                rf"rowCount=([\d.E+]+)",
-                plan,
-                re.MULTILINE,
+        joined = (
+            spark.table("cbo_customer")
+            .join(
+                spark.table("cbo_orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
             )
-            n = int(float(m.group(1))) if m else -1
-            out.append((t, n))
+            .select("o_orderkey")
+        )
+        # exact BigInt statistics from the join's own leaf nodes —
+        # the numbers the CBO actually keys on (EXPLAIN COST's text
+        # rendering truncates to 3 significant digits; see docstring)
+        leaves = joined._jdf.queryExecution().optimizedPlan().collectLeaves()
+        found = {}
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            rc = leaf.stats().rowCount()
+            n = int(str(rc.get())) if rc.isDefined() else -1
+            for t in ("cbo_customer", "cbo_orders"):
+                if t in leaf.toString():
+                    found[t] = n
+        out = [
+            (t, found.get(t, -1))
+            for t in ("cbo_customer", "cbo_orders")
+        ]
         return spark.createDataFrame(
             out, "relation string, plan_rowcount long"
         ).orderBy("relation")
