@@ -38,6 +38,31 @@ def _spread(ss: list[float]) -> float:
     return good[1] / good[0] if len(good) == 2 and good[0] > 0 else 1.0
 
 
+# Sub-second queries sit on the box's scheduling/JIT jitter floor
+# (~0.1-0.3 s per shot on this box), where a RELATIVE spread test
+# misfires: BENCH_r16 run 1 flagged its whole stress tier on q1's
+# [0.361, 0.24] best pair — a 0.12 s delta the per-shot diag showed
+# was compilation tail, not box state. A spread therefore counts as
+# noise only when it clears the floor in ABSOLUTE terms too. A
+# genuinely degraded box still flags: any second-scale query's 1.5×
+# spread clears 0.3 s easily, and the uniform-tier env_flags (I/O
+# probe + clean band) adjudicate the all-queries-slow case on an
+# entirely separate signal.
+SHOT_JITTER_FLOOR_S = 0.3
+
+
+def _shots_noisy(ss: list[float]) -> bool:
+    """True when the two BEST shots disagree >1.5× relatively AND by
+    more than SHOT_JITTER_FLOOR_S absolutely (see floor comment)."""
+    good = sorted(s for s in ss if s > 0)[:2]
+    if len(good) < 2 or good[0] <= 0:
+        return False
+    return (
+        good[1] / good[0] > 1.5
+        and good[1] - good[0] > SHOT_JITTER_FLOOR_S
+    )
+
+
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -111,7 +136,7 @@ def main() -> None:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             shots[name].append(round(time.time() - t0, 3))
-        if _spread(shots[name]) > 1.5:
+        if _shots_noisy(shots[name]):
             # adaptive confirming shot: a cold first shot (page cache,
             # lazy JIT tails) is systematic, not box noise — one more
             # shot resolves it; only a box that STAYS spread flags
@@ -159,11 +184,12 @@ def main() -> None:
         ),
     }
     # r14 in-band noise adjudication: the artifact itself says when it
-    # was taken on a bad box — shot spread > 1.5× on any query, or the
-    # pre/post calibration pair drifting > 1.5×, means the numbers
-    # need a re-run, not a judge investigation
+    # was taken on a bad box — shot spread > 1.5× on any query (above
+    # the absolute jitter floor), or the pre/post calibration pair
+    # drifting > 1.5×, means the numbers need a re-run, not a judge
+    # investigation
     noisy_queries = sorted(
-        q for q, ss in shots.items() if _spread(ss) > 1.5
+        q for q, ss in shots.items() if _shots_noisy(ss)
     )
     probe_pair = [calibration_s, calibration_post_s]
     probe_drift = (
@@ -641,7 +667,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         if (
             best > 0
             and len(shots[name]) < 3
-            and _spread(shots[name]) > 1.5
+            and _shots_noisy(shots[name])
             and time.time() - t_start + best < budget
         ):
             # adaptive confirming shot, same rationale as the headline
@@ -678,7 +704,7 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
         if q in STRESS_HIGH_VARIANCE and timings.get(q, -1.0) > 0
     }
     noisy_queries = sorted(
-        q for q, ss in shots.items() if _spread(ss) > 1.5
+        q for q, ss in shots.items() if _shots_noisy(ss)
     )
     probe_pair = [stress_calibration_s, stress_calibration_post_s]
     probe_drift = (

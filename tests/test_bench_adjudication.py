@@ -42,6 +42,54 @@ class TestSpread:
         assert _spread([3.0]) == 1.0
 
 
+class TestShotJitterFloor:
+    """r16: the noisy flag needs an ABSOLUTE floor as well as the 1.5x
+    relative spread. BENCH_r16 run 1 flagged its whole stress tier on
+    q1's [0.361, 0.24] best pair — a 0.12 s scheduling/JIT delta on a
+    sub-second query, not box state. _shots_noisy requires the best
+    pair to disagree >1.5x AND by more than SHOT_JITTER_FLOOR_S."""
+
+    def test_sub_second_spread_is_jitter_not_noise(self):
+        from bench import _shots_noisy
+
+        # the exact BENCH_r16 run-1 misfire: 1.50x relative but only
+        # 0.12 s absolute — below the floor, not noisy
+        assert not _shots_noisy([0.361, 0.24])
+
+    def test_second_scale_spread_still_flags(self):
+        from bench import _shots_noisy
+
+        # a genuinely degraded box at second scale clears the floor
+        assert _shots_noisy([4.0, 2.0, 3.9])
+
+    def test_relative_gate_still_required(self):
+        from bench import _shots_noisy
+
+        # large absolute delta but <=1.5x relative: systematic warmup
+        # band, not noise
+        assert not _shots_noisy([10.0, 14.5])
+
+    def test_cold_first_shot_with_agreeing_warm_pair_is_clean(self):
+        from bench import _shots_noisy
+
+        assert not _shots_noisy([4.0, 2.0, 2.1])
+
+    def test_budget_cut_and_single_shots_are_clean(self):
+        from bench import _shots_noisy
+
+        assert not _shots_noisy([-1.0])
+        assert not _shots_noisy([3.0])
+
+    def test_floor_boundary_is_exclusive(self):
+        from bench import SHOT_JITTER_FLOOR_S, _shots_noisy
+
+        # delta just under the floor (relative gate already passed at
+        # ~4x) -> not noisy; clearly past it -> noisy
+        assert SHOT_JITTER_FLOOR_S == pytest.approx(0.3)
+        assert not _shots_noisy([0.1, 0.39])
+        assert _shots_noisy([0.1, 0.45])
+
+
 class TestStressLayoutDeterminism:
     def test_two_builds_place_identical_rows_per_file(
         self, spark, sf_dir, tmp_path
