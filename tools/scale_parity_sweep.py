@@ -58,6 +58,26 @@ def _default_round() -> str:
     return str(max(rounds) + 1) if rounds else "0"
 
 
+def parse_check_oracle(stdout: str):
+    """Split check_oracle stdout into (pass, fail, rows_only,
+    fail_lines) name lists. A FAIL name may repeat across lines
+    (spark error + value mismatch can't co-occur, but keep the parse
+    defensive: names are deduped, first fail line per name kept)."""
+    names_pass, names_fail, names_rows_only = [], [], []
+    fail_lines = []
+    for line in stdout.splitlines():
+        if line.startswith("PASS "):
+            names_pass.append(line.split()[1].rstrip(":"))
+        elif line.startswith("FAIL "):
+            name = line.split()[1].rstrip(":")
+            if name not in names_fail:
+                names_fail.append(name)
+                fail_lines.append(line[:500])
+        elif line.startswith("rows "):
+            names_rows_only.append(line.split()[1].rstrip(":"))
+    return names_pass, names_fail, names_rows_only, fail_lines
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rnd = sys.argv[2] if len(sys.argv) > 2 else _default_round()
@@ -71,16 +91,9 @@ def main() -> None:
         text=True,
     )
     sys.stderr.write(proc.stderr[-2000:])
-    names_pass, names_fail, names_rows_only = [], [], []
-    fail_lines = []
-    for line in proc.stdout.splitlines():
-        if line.startswith("PASS "):
-            names_pass.append(line.split()[1].rstrip(":"))
-        elif line.startswith("FAIL "):
-            names_fail.append(line.split()[1].rstrip(":"))
-            fail_lines.append(line[:500])
-        elif line.startswith("rows "):
-            names_rows_only.append(line.split()[1].rstrip(":"))
+    names_pass, names_fail, names_rows_only, fail_lines = (
+        parse_check_oracle(proc.stdout)
+    )
     out = {
         "round": rnd,
         "what": (
