@@ -377,12 +377,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-           round(CAST(sum(
+           CAST(round(sum(
                CAST(l_extendedprice AS DECIMAL(18, 4))
                  * CAST(1 - l_discount AS DECIMAL(18, 4))
                - CAST(0.6 * p_retailprice AS DECIMAL(18, 4))
                  * CAST(l_quantity AS DECIMAL(18, 4))
-           ) AS DOUBLE), 2) AS sum_profit
+           ), 2) AS DOUBLE) AS sum_profit
     FROM lineitem
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -398,7 +398,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhinted (fact-scale at 100 TB) so AQE sizes the join at runtime.
     Profit accumulates in DECIMAL: double sums differ across engines in
     accumulation order and can straddle a cent rounding boundary at
-    larger SFs (seen at sf0.1) — decimal addition is exact."""
+    larger SFs (seen at sf0.1) — decimal addition is exact. r16: the
+    cent-round itself must ALSO happen on the exact decimal, before
+    any double cast — at replica scale (sf≈1) one group's exact sum
+    landed on .8250, where round(double) diverges across engines
+    (Spark's BigDecimal.valueOf sees the shortest repr '….825' and
+    rounds up; DuckDB's multiply-shift sees the binary value a hair
+    below the half and rounds down). Decimal HALF_UP matches DuckDB's
+    exact half-away-from-zero decimal round, so both engines now cast
+    the SAME rounded decimal to double."""
     cat = Catalog(spark, sf_dir)
     part = cat.part.where(F.col("p_name").like("%gear%")).select(
         "p_partkey", "p_retailprice"
@@ -421,7 +429,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "o_year")
         .agg(
-            F.round(F.sum("profit").cast("double"), 2).alias("sum_profit")
+            F.round(F.sum("profit"), 2).cast("double").alias("sum_profit")
         )
         .orderBy("nation", F.desc("o_year"))
     )

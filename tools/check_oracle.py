@@ -104,9 +104,14 @@ def main():
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver testdata is one file per table; Spark-written dirs
+        # (e.g. the 10x stress replica) need the part-file glob —
+        # Spark reads both shapes natively, DuckDB only globs dirs
+        import os
+
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
