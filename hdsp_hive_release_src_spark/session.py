@@ -42,6 +42,23 @@ def bench_driver_mem() -> str:
     return _default_driver_mem(floor_gib=12)
 
 
+def _default_shuffle_partitions() -> int:
+    """Initial shuffle partitions sized to the ACTUAL core count
+    (``SPARK_GRAFT_CPUS``, else the host's), floored at 16 — r16: the
+    old fixed 32 was a local[32]-tuned constant; on a local[8] run it
+    schedules 4 waves of tiny tasks per exchange (measured at sf0.1 /
+    8 cores: noop headline total ~15% slower, the fixed-size
+    calibration probe ~35% slower, than with 16). At 32 cores this
+    still resolves to 32, so the bench series is unchanged on the
+    reference box. This is only the INITIAL partition count — AQE
+    coalescing (on) sizes post-shuffle partitions by bytes either
+    way; a cluster deployment overrides via SPARK_GRAFT_SHUFFLE
+    (sized to executors × cores, see SURVEY §4)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 16)
+    return max(16, n)
+
+
 def get_spark(
     app_name: str = "hdsp-hive-release-src-spark",
     master: str | None = None,
@@ -52,7 +69,10 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = (
+            int(env) if env else _default_shuffle_partitions()
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -153,7 +173,8 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        os.environ.get("SPARK_GRAFT_SHUFFLE")
+        or str(_default_shuffle_partitions()),
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # naive parquet timestamps must read as TIMESTAMP (UTC), not NTZ —

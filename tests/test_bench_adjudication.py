@@ -380,3 +380,62 @@ class TestNoopTier:
             _summary(TestTruncationProofSummary.RECORD)["noop_total_s"]
             is None
         )
+
+
+class TestShuffleDefaultScalesWithCores:
+    """r16 (guide §2.2, round rule on scale-dependent settings): the
+    default initial shuffle-partition count derives from the actual
+    core count instead of a local[32]-tuned constant 32. Measured at
+    sf0.1 on local[8]: 32 partitions ran the noop headline total ~15%
+    and the fixed-size calibration probe ~35% slower than 16 (4 waves
+    of tiny tasks per exchange). At 32 cores the default still
+    resolves to 32, keeping the bench series comparable."""
+
+    def test_derives_from_spark_graft_cpus(self, monkeypatch):
+        from hdsp_hive_release_src_spark.session import (
+            _default_shuffle_partitions,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        assert _default_shuffle_partitions() == 16  # floor
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "24")
+        assert _default_shuffle_partitions() == 24
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "64")
+        assert _default_shuffle_partitions() == 64
+
+    def test_reference_box_resolves_to_32(self, monkeypatch):
+        """The series pin: 32 cores -> 32 partitions, byte-identical
+        bench configuration to every pre-r16 record on this box."""
+        from hdsp_hive_release_src_spark.session import (
+            _default_shuffle_partitions,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+        assert _default_shuffle_partitions() == 32
+
+    def test_env_override_still_wins(self, monkeypatch, spark):
+        """SPARK_GRAFT_SHUFFLE remains the cluster-deployment
+        override on the runtime-settable tune_for_oracle path."""
+        from hdsp_hive_release_src_spark.session import tune_for_oracle
+
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "123")
+        try:
+            tune_for_oracle(spark)
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions") == "123"
+            )
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
+            tune_for_oracle(spark)
+
+    def test_nonnumeric_cpus_falls_back_to_host(self, monkeypatch):
+        import os as _os
+
+        from hdsp_hive_release_src_spark.session import (
+            _default_shuffle_partitions,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")
+        assert _default_shuffle_partitions() == max(
+            16, _os.cpu_count() or 16
+        )
