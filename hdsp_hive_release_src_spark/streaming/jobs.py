@@ -16,11 +16,55 @@ semantics get FULL oracles here, not rows-only).
 from __future__ import annotations
 
 import itertools
+import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _COUNTER = itertools.count()
+
+
+def state_shuffle_partitions() -> int:
+    """Shuffle-partition count for STATEFUL streaming queries (r16,
+    guide §2.2/§2.4): every stateful operator instantiates one state
+    store per shuffle partition per micro-batch (provider init,
+    version files, snapshot/commit bookkeeping) — a per-partition
+    fixed cost that dwarfs the per-row work when the state key space
+    is small. Every stream in this module keys its state by a bounded
+    space (day×type windows ≤150, event types ≤5, user sessions at
+    test scale ≤~10k), so the batch-tier partition count (sized for
+    corpus shuffles) is pure overhead here: measured on the 10×-sf0.1
+    replica, stream_windowed_counts runs 2.6-4.2 s at 32 partitions
+    vs 1.7-2.0 s at 8 vs 1.2-1.4 s at 4 — identical results. Default:
+    cores/4 clamped to [4, 32] (parallelism still scales with the
+    box; the state-store constant shrinks 4×). A real deployment
+    sizes state partitions to key cardinality × throughput and MUST
+    set SPARK_GRAFT_STREAM_SHUFFLE instead (state partitioning is
+    frozen into a stream's checkpoint at first start — it cannot be
+    re-derived later)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return int(env)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 16)
+    return max(4, min(n // 4, 32))
+
+
+@contextmanager
+def stateful_partitioning(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the stateful-stream
+    sizing for a start→drain→stop region, restoring the batch value
+    after (the conf is read at stream start; batch queries in the
+    same session must keep their own sizing)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_shuffle_partitions())
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table, normalizing ``ts`` to TIMESTAMP exactly
@@ -91,17 +135,19 @@ def run_to_memory(
     LAST_PROGRESS so tests can assert streaming semantics actually
     fired, not just that the final values matched."""
     name = f"{prefix}_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        LAST_PROGRESS[:] = [dict(p) for p in q.recentProgress]
-    finally:
-        q.stop()
+    spark = agg.sparkSession
+    with stateful_partitioning(spark):
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            LAST_PROGRESS[:] = [dict(p) for p in q.recentProgress]
+        finally:
+            q.stop()
     return name
 
 
