@@ -585,15 +585,21 @@ def trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     name = f"avail_now_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .trigger(availableNow=True)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    finished = q.awaitTermination(120)
-    q.stop()
+    # stateful complete-mode agg (state keyed by ≤5 event types): the
+    # one drain point outside run_to_memory that still pays the
+    # per-partition state-store constant — same scoped sizing
+    # (measured on the 10×-sf0.1 replica: 1.7-2.1 s @ 32 → 1.1-1.4 s
+    # @ 8, identical rows).
+    with stateful_partitioning(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+        q.stop()
     if not finished:
         # a timed-out drain would silently return a partial snapshot
         raise TimeoutError(
