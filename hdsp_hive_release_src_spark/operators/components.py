@@ -136,18 +136,46 @@ def connected_components_star(
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # (count, xor-of-hashes): order-insensitive, overflow-free
         # under ANSI (a 64-bit SUM of hashes overflows), exact on a
-        # distinct edge list
-        sig = tuple(
-            nxt.agg(
-                F.count(F.lit(1)),
-                F.expr("bit_xor(xxhash64(u, v))"),
-            ).collect()[0]
-        )
+        # distinct edge list. countDistinct(u)/countDistinct(v) ride
+        # the same aggregation for the star-forest probe below.
+        cnt, h, du, dv = nxt.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(u, v))"),
+            F.countDistinct("u"),
+            F.countDistinct("v"),
+        ).collect()[0]
+        sig = (cnt, h)
         e = nxt
         rounds += 1
         if sig == prev_sig:
             converged = True
             break
+        # Early star-forest detection (r16, guide §2: remove a whole
+        # round of star shuffles): the signature test can only see a
+        # fixpoint one round AFTER it is reached (it needs two equal
+        # snapshots), so the loop always paid one full
+        # large+small-star confirmation round. The fixpoint itself is
+        # directly testable: e is a star forest iff every u has
+        # out-degree exactly 1 (cnt == du) and no target is also a
+        # source (U ∩ V = ∅, tested exactly as |U| + |V| ==
+        # |U ∪ V|). u > v always holds, so each star's root is its
+        # minimum, and both star ops preserve the component
+        # partition, so each star IS one whole original component —
+        # the same edge set the signature test would accept one round
+        # later, proven identical because applying a round to a
+        # fixpoint returns it unchanged. Aggregation-only probes
+        # (no joins); the union-distinct job runs only when the free
+        # cnt == du precondition already holds.
+        if cnt == du:
+            duv = (
+                nxt.select(F.col("u").alias("id"))
+                .unionByName(nxt.select(F.col("v").alias("id")))
+                .agg(F.countDistinct("id"))
+                .collect()[0][0]
+            )
+            if du + dv == duv:
+                converged = True
+                break
         prev_sig = sig
     LAST_RUN_ROUNDS = rounds
     if not converged:

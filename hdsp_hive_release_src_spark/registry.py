@@ -97,9 +97,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # spark.sql.shuffle.partitions to the state-store sizing) — values
 # proven identical against the oracle at sf0.01 and in the sf0.1
 # parity sweep, but the policy is plan-or-OPERATOR changed, so they
-# go first. The remaining 36 slots continue the staleness drain: all
-# 23 r3 names plus the 13 alphabetically-first r4 names. After this
-# window no row predates r4.
+# go first. dedup_components / dedup_keep_best re-certify for the
+# same reason (star-loop convergence probe, operator-changed, values
+# proven identical). The remaining 34 slots continue the staleness
+# drain: all 23 r3 names plus the 11 alphabetically-first r4 names.
+# After this window no row predates r4.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "window_ntile",
     "quantile_normalize",
@@ -112,6 +114,12 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # cast (tpch.py q9 docstring). sf0.01/sf0.1 values unchanged
     # (verified), but the plan changed, so it re-certifies.
     "q9_product_profit",
+    # the two consumers of connected_components_star, whose loop
+    # internals changed this round (early star-forest convergence
+    # probe replaces the signature test's confirmation round; rounds
+    # 2 → 1, labels proven identical — operators/components.py).
+    "dedup_components",
+    "dedup_keep_best",
     # the 10 stateful streams whose drain operator changed this round
     # (state-store shuffle sizing; see module comment above).
     "stream_windowed_counts",

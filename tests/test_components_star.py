@@ -158,3 +158,46 @@ def test_star_raises_on_round_exhaustion(spark, monkeypatch):
 
     with pytest.raises(RuntimeError, match="no fixpoint"):
         components.connected_components_star(df).collect()
+
+
+def test_star_forest_input_converges_in_one_round(spark):
+    """r16 early star-forest detection: the signature probe needed a
+    second full large+small-star round to see two equal snapshots; an
+    input that is ALREADY a star forest must now finish after one
+    round (the round's output equals its input, and the
+    aggregation-only probe — out-degree 1 + source/target
+    disjointness — certifies the fixpoint without the confirmation
+    round). Labels must be the exact union-find answer."""
+    from hdsp_hive_release_src_spark.operators import components
+
+    components.LAST_RUN_ROUNDS = None
+    # two disjoint stars, roots already the component minima
+    _check(spark, [(5, 1), (7, 1), (9, 1), (20, 10), (30, 10)])
+    assert components.LAST_RUN_ROUNDS == 1
+
+
+def test_star_probe_never_fires_early_on_a_chain(spark):
+    """A path graph passes through intermediate states where some
+    nodes have out-degree 1 but chains remain (U ∩ V nonempty) — the
+    probe must keep iterating until the true star forest and still
+    return exact labels."""
+    from hdsp_hive_release_src_spark.operators import components
+
+    components.LAST_RUN_ROUNDS = None
+    _check(spark, [(i, i + 1) for i in range(16)])
+    assert components.LAST_RUN_ROUNDS >= 2
+
+
+def test_star_empty_and_selfloop_edges_one_round(spark):
+    """Self-loop-only input canonicalizes to an EMPTY edge list — the
+    empty set is trivially a star forest, so the probe ends the loop
+    after one round and every node labels itself."""
+    from hdsp_hive_release_src_spark.operators import components
+
+    components.LAST_RUN_ROUNDS = None
+    df = spark.createDataFrame([(4, 4), (9, 9)], ["src", "dst"])
+    got = {
+        r.id: r.lbl for r in connected_components_star(df).collect()
+    }
+    assert got == {4: 4, 9: 9}
+    assert components.LAST_RUN_ROUNDS == 1
