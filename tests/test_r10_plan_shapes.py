@@ -37,10 +37,12 @@ def test_lorenz_has_no_global_row_number_window(spark):
     _row_number_windows_are_partitioned(plan)
 
 
-def test_star_components_plan_is_window_free(spark):
-    """Each star round is joins + aggregations only — a Window or a
-    cartesian product appearing here means the operator regressed to
-    a global-sort or all-pairs formulation."""
+def test_star_components_plan_is_join_free_and_partitioned(spark):
+    """Each star round (r16 rewrite) is PARTITIONED window-mins +
+    distincts only: a join appearing here means the operator regressed
+    to the groupBy+join-back form (one extra exchange per star op), a
+    partitionless Window means it regressed to a global sort, and a
+    cartesian product means an all-pairs formulation."""
     from pyspark.sql import functions as F
 
     from hdsp_hive_release_src_spark.operators.components import (
@@ -56,11 +58,20 @@ def test_star_components_plan_is_window_free(spark):
             ((F.col("id") + 1) % 100).alias("dst"),
         )
     )
+    # simple mode: Window renders one line with [functions], [part spec]
     round_plan = explain_str(
-        _small_star(_large_star(_canon(src, "src", "dst")))
+        _small_star(_large_star(_canon(src, "src", "dst"))), "simple"
     )
-    assert "Window" not in round_plan
+    assert "Join" not in round_plan
     assert "CartesianProduct" not in round_plan
+    window_lines = [
+        ln for ln in round_plan.splitlines() if "Window [" in ln
+    ]
+    assert window_lines, "star round lost its window-min form"
+    for ln in window_lines:
+        # a partitioned no-order window min renders two bracket groups
+        # (functions, partition spec); a global window only one
+        assert "], [" in ln, f"partitionless window: {ln}"
 
 
 def test_kmv_set_operations_matches_python_replay(spark):
