@@ -224,8 +224,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
         .localCheckpoint()
     )
-    cells = spark.read.parquet(path).join(
-        B(keep_cells), "cid", "leftsemi"
+    # r16 (guide §2.5, measured): the pair join's input is tiny in
+    # BYTES (the assignment table) but quadratic in WORK (Σ cell²
+    # candidate pairs, each a 64-dim cosine), so AQE's byte-based
+    # partition coalescing (minPartitionSize=1m) merges the cid
+    # exchange down to 1-2 tasks and the candidate stage runs nearly
+    # serial (shot_diag: cpu_over_wall ~6 vs 16-23 on healthy
+    # queries). An explicit cid-hash repartition sized to the core
+    # count pins the quadratic stage's parallelism — rep_pairs noop
+    # best-of-3 at the 10× replica: 1.76 s → 0.81 s. Scale-adaptive
+    # by construction (defaultParallelism, not a constant); at real
+    # scale per-cid groups stay ≤ SEMANTIC_MAX_CELL rows while cell
+    # count grows, so a cid-hash spread over 2× cores stays balanced.
+    cells = (
+        spark.read.parquet(path)
+        .join(B(keep_cells), "cid", "leftsemi")
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2, "cid"
+        )
     )
     a = cells.alias("a")
     b = cells.alias("b")

@@ -115,11 +115,20 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # (verified), but the plan changed, so it re-certifies.
     "q9_product_profit",
     # the two consumers of connected_components_star, whose loop
-    # internals changed this round (early star-forest convergence
-    # probe replaces the signature test's confirmation round; rounds
-    # 2 → 1, labels proven identical — operators/components.py).
+    # internals changed this round TWICE (early star-forest
+    # convergence probe replaces the signature test's confirmation
+    # round, rounds 2 → 1; then the star ops themselves moved from
+    # groupBy+join-back to windowed mins on the edge stream's own
+    # exchange, 19 → 6 exchanges and 4 → 0 joins per round — labels
+    # proven identical both times; operators/components.py).
     "dedup_components",
     "dedup_keep_best",
+    # r16: the within-cell pair join now pins its parallelism with an
+    # explicit cid-hash repartition (AQE's byte-based coalescing ran
+    # the quadratic cosine stage nearly serial — llm7.py comment);
+    # values proven identical on replica signature + sf0.01 oracle,
+    # but the plan changed, so it re-certifies.
+    "semantic_dedup",
     # the 10 stateful streams whose drain operator changed this round
     # (state-store shuffle sizing; see module comment above).
     "stream_windowed_counts",

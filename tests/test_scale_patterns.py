@@ -365,3 +365,27 @@ def test_semantic_dedup_pair_join_is_blocked(spark):
             or ("BroadcastHashJoin" in ln and "cid" in ln))
     ]
     assert pair_joins, plan
+
+
+def test_semantic_dedup_pair_join_parallelism_is_pinned(spark):
+    """r16: the pair join's input is tiny in bytes but quadratic in
+    work (Σ cell² cosine pairs), so AQE's byte-based coalescing
+    (minPartitionSize) merged the cid exchange to 1-2 tasks and the
+    candidate stage ran nearly serial. The fix is an explicit
+    cid-hash repartition sized to the core count (user-specified
+    numPartitions, which AQE must respect) — this pins its presence
+    on both self-join sides."""
+    from hdsp_hive_release_src_spark import registry
+    from hdsp_hive_release_src_spark.plans import explain_str
+
+    registry.load_all()
+    df = registry.QUERIES["semantic_dedup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df, "formatted")
+    pinned = [
+        ln
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "hashpartitioning(cid" in ln
+    ]
+    assert len(pinned) >= 2, plan
