@@ -35,9 +35,14 @@ each star op is one exchange + one distinct with NO join — measured
 pair, byte-identical labels. At scale the win is structural: the old
 shape shuffled the symmetrized edges PLUS both join sides (~2E + 2N
 rows per op); the window shape shuffles the symmetrized edges once
-(~2E). WindowExec buffers one node's neighborhood at a time in a
-spillable array — the same per-key bound the join's grouped build
-side had. Convergence is probed with a (count, xxhash64-sum)
+(~2E). Memory trade (r16 ADVICE): WindowExec buffers one node's FULL
+neighborhood at a time — O(deg(u)) rows in a spillable
+ExternalAppendOnlyUnsafeRowArray, where the old groupBy-min held O(1)
+partial-aggregate state per node and never buffered a neighborhood
+(for the component-min node, deg approaches component size in late
+rounds). The buffer spills, so extreme-hub skew costs disk, not
+correctness — that skew cost is the known price paid for deleting
+the join. Convergence is probed with a (count, xxhash64-sum)
 signature: the algorithm is a monotone contraction, so an unchanged
 signature across one full large+small round is the fixpoint (star
 edges are fixed points of both operations).

@@ -185,14 +185,39 @@ def bounded_sorted_postings(
 
 
 def shingle_pair_counts(
-    d: DataFrame, max_shingle_df: int = 1000
+    d: DataFrame,
+    max_shingle_df: int = 1000,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """The shared pair-generation core: inverted shingle index →
     ordered candidate pairs with (d1, d2, n1, n2, inter). Jaccard,
     containment, and overlap coefficients are all ratios over these
     four numbers — one pair-generation implementation serves every
     set-similarity measure (see jaccard_pairs_from_docs for the full
-    algorithm/scale notes)."""
+    algorithm/scale notes).
+
+    r17 (guide §2.3, "shuffle fewer bytes"): the pair aggregation is
+    the most expensive single stage in the engine (the Σ df²
+    candidate stream is ~12.7M incidences → 11.3M nearly-all-singleton
+    groups at the 10× replica), so its shuffle row is kept minimal —
+    the group key is (d1, d2) ONLY, and the per-doc sizes ride as
+    ``max()`` aggregates instead of group keys (n is functionally
+    dependent on the doc id: every incidence of d1 carries the same
+    n1, so ``max`` recovers it exactly and the hash-agg keys halve
+    from 4 longs to 2).
+
+    ``min_jaccard`` (r17, opt-in): callers whose downstream filter is
+    ``jaccard >= t`` can pass ``t`` to drop candidate incidences whose
+    SIZES alone already rule the pair out: J = i/(n1+n2-i) with
+    i ≤ min(n1,n2) gives J ≤ min/max, so any pair with
+    min(n1,n2) < t·max(n1,n2) is strictly below t and every one of
+    its incidences can be dropped BEFORE the aggregation (all
+    incidences of a pair share (n1,n2), so its ``inter`` is either
+    exact or the whole pair is gone — never undercounted). At t=0.5
+    this cuts the replica's aggregation input 12.7M → 9.7M (~24%).
+    Exact-safe ONLY for the Jaccard coefficient at threshold ≥ t;
+    containment/overlap callers and sub-threshold sweeps must leave
+    it None."""
     sh = d.select("doc_id", word_shingles("text").alias("sh"))
     sized = sh.select(
         "doc_id",
@@ -206,21 +231,34 @@ def shingle_pair_counts(
         min_df=2,
         max_df=max_shingle_df,
     )
-    return (
-        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
-        .select(
-            "a",
-            F.explode(
-                F.slice("ds", F.col("i") + 2, F.size("ds"))
-            ).alias("b"),
+    emitted = postings.select(
+        F.posexplode("ds").alias("i", "a"), "ds"
+    ).select(
+        "a",
+        F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias(
+            "b"
+        ),
+    )
+    if min_jaccard is not None:
+        # keep iff min >= t*max (doubles are exact here: n is a small
+        # int and t=0.5 is a power of two; boundary pairs with
+        # min == t*max are KEPT, only strictly-impossible ones drop)
+        emitted = emitted.where(
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(float(min_jaccard))
+            * F.greatest(F.col("a.n"), F.col("b.n"))
         )
-        .groupBy(
+    return (
+        emitted.groupBy(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.n").alias("n1"),
+            F.max("b.n").alias("n2"),
+        )
+        .select("d1", "d2", "n1", "n2", "inter")
     )
 
 
@@ -263,8 +301,16 @@ def jaccard_pairs_from_docs(
     ``size()`` filter would materialize a viral shingle's full
     postings array in one in-memory agg buffer first), so per-group
     agg memory really is ≤ max_shingle_df structs at any corpus size.
+
+    r17 (guide §2.3): passes ``min_jaccard=0.5`` so the size filter
+    (min(n1,n2) ≥ 0.5·max — a necessary condition for J ≥ 0.5, see
+    shingle_pair_counts) drops ~24% of candidate incidences before
+    the pair aggregation, and the aggregation itself groups on
+    (d1, d2) alone. Interleaved A/B at the 10× replica (noop sink,
+    4 reps): 2.68/3.47 s best/worst → 2.30/3.20 s, output
+    byte-identical (2560 pairs).
     """
-    pairs = shingle_pair_counts(d, max_shingle_df)
+    pairs = shingle_pair_counts(d, max_shingle_df, min_jaccard=0.5)
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
         pairs.where(jac >= 0.5)

@@ -78,69 +78,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/gen_certification.py after the driver lands the previous
 # round's CORRECTNESS file.
 
-# round 16: registry still frozen at 494. The only driver-visible
-# re-plan this round is the deferred-release shape (r15 verdict item
-# 5): with_global_rank's no-finalize path now DEFERS its fact-tier
-# input-cache release to the next query-boundary flush instead of
-# dropping it at return, so the plan the driver executes reads the
-# InMemoryRelation again (executed scans back 2 → 1, re-pinned in
-# tests/test_scan_counts.py) and the counts/offsets and output rows
-# come from ONE materialization. Values identical; the two
-# row-per-input callers re-certify first. dsir_importance_weights
-# re-certifies too: the r16 sf0.1 parity spot-check caught its 4dp
-# output round landing exactly on a half-boundary the two engines'
-# rounding primitives resolve differently (llm8.py docstring); the
-# output now rounds at the exact 1e-6 grid (values changed in the
-# 5th/6th decimal). The 10 stateful stream_* names re-certify
-# because their drain operator changed (streaming/jobs.py r16:
-# run_to_memory and the AvailableNow drain now scope
-# spark.sql.shuffle.partitions to the state-store sizing) — values
-# proven identical against the oracle at sf0.01 and in the sf0.1
-# parity sweep, but the policy is plan-or-OPERATOR changed, so they
-# go first. dedup_components / dedup_keep_best re-certify for the
-# same reason (star-loop convergence probe, operator-changed, values
-# proven identical). The remaining 34 slots continue the staleness
-# drain: all 23 r3 names plus the 11 alphabetically-first r4 names.
-# After this window no row predates r4.
+# round 17: registry still frozen at 494. Two re-plans this round
+# (optimization round 2 of 2), both values-identical and oracle
+# re-proven, re-certify first per the standing plan-or-operator-
+# changed policy:
+#   * the shared shingle pair-generation core (queries/llm.py
+#     shingle_pair_counts) now groups the pair aggregation on
+#     (d1, d2) alone — per-doc sizes ride as max() aggregates (n is
+#     functionally dependent on the doc id) — and
+#     dedup_ngram_jaccard additionally passes min_jaccard=0.5, an
+#     exact-safe size filter (min(n1,n2) ≥ 0.5·max ⟸ J ≥ 0.5) that
+#     drops ~24% of candidate incidences before the aggregation.
+#     All six consumers of the core re-certify.
+#   * semantic_dedup's three scratch-parquet materializations
+#     (group / assignment / membership tables) are now
+#     localCheckpoint / DISK_ONLY-persist-with-deferred-release
+#     (llm7.py docstring) — same single-build lifecycle, no file
+#     I/O, 2 executed corpus scans unchanged.
+# The remaining slots continue the staleness drain (oldest
+# last-certified rounds first, from the regenerated certification).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "window_ntile",
-    "quantile_normalize",
-    "dsir_importance_weights",
-    # r16 late find, same half-boundary class as dsir but in the
-    # ROUND PRIMITIVE itself: at replica scale (sf≈1) one q9 group's
-    # exact decimal profit sum landed on an exact cent half
-    # (….8250), where round(double) diverges across engines; the
-    # cent-round now happens on the exact decimal before the double
-    # cast (tpch.py q9 docstring). sf0.01/sf0.1 values unchanged
-    # (verified), but the plan changed, so it re-certifies.
-    "q9_product_profit",
-    # the two consumers of connected_components_star, whose loop
-    # internals changed this round TWICE (early star-forest
-    # convergence probe replaces the signature test's confirmation
-    # round, rounds 2 → 1; then the star ops themselves moved from
-    # groupBy+join-back to windowed mins on the edge stream's own
-    # exchange, 19 → 6 exchanges and 4 → 0 joins per round — labels
-    # proven identical both times; operators/components.py).
-    "dedup_components",
-    "dedup_keep_best",
-    # r16: the within-cell pair join now pins its parallelism with an
-    # explicit cid-hash repartition (AQE's byte-based coalescing ran
-    # the quadratic cosine stage nearly serial — llm7.py comment);
-    # values proven identical on replica signature + sf0.01 oracle,
-    # but the plan changed, so it re-certifies.
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "incremental_dedup_minhash",
+    "cross_source_dedup_matrix",
+    "dedup_threshold_sweep",
+    "minhash_estimate_accuracy",
     "semantic_dedup",
-    # the 10 stateful streams whose drain operator changed this round
-    # (state-store shuffle sizing; see module comment above).
-    "stream_windowed_counts",
-    "stream_sessionization",
-    "stream_stateful_user_agg",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_late_data",
-    "stream_static_join",
-    "stream_dedup_within_watermark",
-    "stream_chained_windows",
-    "stream_trigger_available_now",
 )
 
 # Empty as of r11: every registered query now has a driver correctness

@@ -152,10 +152,13 @@ EXPECTED_CORPUS = {
     # executed); the remaining visible scan is the encode pass, plus
     # two driver-side setup reads at build (see RUNTIME_SCANS)
     "ann_product_quantization": (0, 1),
-    # r13 re-plan: group/assignment/membership all materialized to
-    # scratch parquet — the corpus scans (group build + member join)
-    # run at build; the final plan reads only scratch tables
-    "semantic_dedup": (0, 0),
+    # r13 re-plan: group/assignment/membership all materialized (the
+    # corpus scans — group build + member join — run once at build).
+    # r17: scratch parquet → localCheckpoint/persist; the one visible
+    # Location line is the members persist's cached-build plan, which
+    # EXPLAIN prints once inside InMemoryRelation — it executes once
+    # (RUNTIME_SCANS pins embeddings at 2 total, unchanged)
+    "semantic_dedup": (0, 1),
     # r12 fixes (see the changed-this-round comment in registry.py):
     # two-pass MG with the total folded into the checkpointed recount
     # (0 visible; 2 real scans at build, was 3)

@@ -156,6 +156,11 @@ def main() -> None:
     print("RESULTS", results, flush=True)
     print("SIGS equal:", sigs["orig"] == sigs["window"],
           sigs, flush=True)
+    # r16 ADVICE: fail loudly on a label divergence — the A/B is only
+    # evidence if result equality is ASSERTED every run, not printed
+    assert sigs["orig"] == sigs["window"], (
+        f"variant outputs diverged: {sigs}"
+    )
 
 
 if __name__ == "__main__":
