@@ -82,6 +82,24 @@ HEADLINERS = [
     "ann_bruteforce_topk",
 ]
 
+# r17 (r16 verdict item 7): the two headliners whose round-over-round
+# "regressions" were pure first-shot variance (q3 r16 shots
+# [0.873, 0.636], q18 [0.908, 0.673] — both >10% "slower" than r15 on
+# code with no diff) get a fixed THIRD shot. Protocol ADDITION only:
+# same names, same unit, still min-of-shots; one more sample halves
+# the chance the reported best is a cold-tail draw.
+HEADLINE_TRIPLE_SHOT = {"q3_shipping_priority", "q18_large_volume_customer"}
+
+# r17 (r16 verdict item 5): stress-tier noop twins for the two stress
+# members whose count-timed number provably under-measures the
+# declared computation (the r16 §1.4 audit: q9 1.44×, sessionization
+# 1.58× noop/count — count() prunes q9's decimal profit sum and drops
+# the declared final sorts). Additive "<name>_noop" keys, same
+# best-of-2 protocol; the count-timed series and the stress "value"
+# are untouched. The remaining stress queries measured count≈noop
+# within noise (agg/join-shaped) and stay count-only for budget.
+STRESS_NOOP = ["q9_product_profit", "sessionization"]
+
 
 def main() -> None:
     globals()["_T0"] = time.time()
@@ -143,7 +161,9 @@ def main() -> None:
             continue
         n = 0
         shots[name] = []
-        for _ in range(2):
+        # fixed 3rd shot for the two first-shot-variance headliners
+        # (HEADLINE_TRIPLE_SHOT comment); best-of-2 for the rest
+        for _ in range(3 if name in HEADLINE_TRIPLE_SHOT else 2):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             shots[name].append(round(time.time() - t0, 3))
@@ -264,7 +284,51 @@ def main() -> None:
     # trustworthy": headline total + both ratios + per-tier noisy
     # adjudication + the stress headline numbers.
     out["summary"] = _summary(out)
-    print(json.dumps(out))
+    print(json.dumps(_bound_record(out)))
+
+
+# r17 (r16 verdict item 6): BENCH_r14 and BENCH_r15 both failed to
+# parse driver-side because the one-line record outgrew the driver's
+# stdout tail; r16's summary-last fix made truncation survivable, but
+# the line kept growing (tier-wide shot_diag × shots). The record is
+# now HARD-BOUNDED: past the budget, bulk diagnostics move to a side
+# artifact and the line keeps only the adjudication-relevant subset.
+# Pinned by tests/test_bench_adjudication.py::TestRecordByteBudget.
+RECORD_BYTE_BUDGET = 60_000
+
+
+def _bound_record(out: dict) -> dict:
+    """Prune the record (in place) until its JSON line fits
+    RECORD_BYTE_BUDGET: first the full record is dumped to
+    _scratch/bench_diag_last.json (side artifact, never graded), then
+    stress shot_diag shrinks to the noisy queries, then shot_diag and
+    layout drop entirely. Graded keys — value, queries, shots,
+    summary (still the LAST key) — are never touched."""
+    if len(json.dumps(out)) <= RECORD_BYTE_BUDGET:
+        return out
+    try:
+        side = (
+            Path(__file__).resolve().parent
+            / "_scratch"
+            / "bench_diag_last.json"
+        )
+        side.parent.mkdir(exist_ok=True)
+        side.write_text(json.dumps(out))
+    except OSError:
+        pass  # diagnostics side-channel must never kill the record
+    stress = out.get("stress_10x")
+    if isinstance(stress, dict) and "shot_diag" in stress:
+        noisy = set(stress.get("noisy_queries") or [])
+        stress["shot_diag"] = {
+            q: d for q, d in stress["shot_diag"].items() if q in noisy
+        }
+        stress["shot_diag_pruned"] = True
+    if len(json.dumps(out)) > RECORD_BYTE_BUDGET and isinstance(
+        stress, dict
+    ):
+        stress.pop("shot_diag", None)
+        stress.pop("layout", None)
+    return out
 
 
 def _summary(out: dict) -> dict:
@@ -735,6 +799,34 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
             rows_per_sec[name] = round(n / timings[name], 1)
             print(f"# stress10x {name}: {timings[name]}s ({n} rows)",
                   file=sys.stderr)
+    # r17 noop twins (STRESS_NOOP comment): timed AFTER the count
+    # series so the graded count-timed numbers keep their tier
+    # position; additive names only, excluded from "value".
+    noop_timings: dict[str, float] = {}
+    for name in STRESS_NOOP:
+        if time.time() - t_start > budget:
+            break  # additive tier — silently absent is fine
+        fn = overrides.get(name, registry.QUERIES[name])
+        key = f"{name}_noop"
+        shots[key] = []
+        for shot in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _noop(fn(spark, dst))
+            shots[key].append(round(time.time() - t0, 3))
+            if time.time() - t_start > budget:
+                break
+        if len(shots[key]) < 2:
+            del shots[key]  # never ship a single-shot number
+            continue
+        if _shots_noisy(shots[key]) and time.time() - t_start < budget:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _noop(fn(spark, dst))
+            shots[key].append(round(time.time() - t0, 3))
+        noop_timings[key] = min(shots[key])
+        print(f"# stress10x {key}: {noop_timings[key]}s",
+              file=sys.stderr)
     stress_calibration_post_s = _calibration(spark, runs=3)
     print(f"# stress calibration post: {stress_calibration_post_s}s",
           file=sys.stderr)
@@ -761,7 +853,9 @@ def _stress_10x(registry, spark, t_start: float, budget: float):
     out = {
         "sf_equivalent": 1.0,
         "unit": "sec",
-        "queries": timings,
+        # count-timed series first (the graded names "value" sums),
+        # then the r17 additive "_noop" stress twins
+        "queries": {**timings, **noop_timings},
         "shots": shots,
         "medians": medians,
         "shot_diag": shot_diag,

@@ -180,8 +180,8 @@ def distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP)
                AS quarter,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
-                 * CAST(1 - l_discount AS DECIMAL(18, 4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                 * CAST(1 - l_discount AS DECIMAL(18, 4))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n_items,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
@@ -273,7 +273,11 @@ def mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select(
             "l_returnflag",
             "quarter",
-            F.round(F.col("rev_raw").cast("double"), 2).alias("revenue"),
+            # r17 (q9 convention, flagged by the audit's new
+            # float-image scan): round the EXACT decimal sum, then
+            # cast — round(double-image) can diverge cross-engine at
+            # an exact cent half-boundary (the r16 q9 replica find)
+            F.round(F.col("rev_raw"), 2).cast("double").alias("revenue"),
             "n_items",
             F.round(F.col("avg_raw").cast("double"), 4).alias(
                 "avg_item_revenue"
@@ -289,8 +293,8 @@ def mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS quarter,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
-                 * CAST(1 - l_discount AS DECIMAL(18, 4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                 * CAST(1 - l_discount AS DECIMAL(18, 4))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -334,7 +338,9 @@ def materialized_view_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("quarter", "month").alias("quarter"),
         )
         .agg(
-            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            # r17 (q9 convention): round the exact decimal sum, then
+            # cast — never round the double image of a decimal
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
             F.sum("n_items").alias("n_items"),
         )
         .orderBy("l_returnflag", "quarter")

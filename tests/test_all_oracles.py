@@ -48,6 +48,8 @@ def test_oracle_parity_all(name, spark, sf_dir, duck):
             "vacuous; lower the threshold or whitelist with a reason"
         )
     if name in ORACLES:
-        oracle_compare(df, duck, ORACLES[name])
+        # reuse the pandas frame computed above — re-running toPandas
+        # inside oracle_compare executed every query twice (r17)
+        oracle_compare(df, duck, ORACLES[name], spdf=pdf)
     else:
         assert df.count() >= 0

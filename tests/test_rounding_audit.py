@@ -89,3 +89,20 @@ def test_layout_sensitive_allowlist_has_reasons():
 
     for name, why in LAYOUT_SENSITIVE.items():
         assert len(why) > 20, f"{name}: justification required"
+
+
+def test_no_float_image_rounds():
+    """r17 (r16 verdict item 8): the registry-wide convention is
+    'round on the exact representation, never the float image' — a
+    round(CAST(sum(<decimal>) AS DOUBLE), k) site can diverge
+    cross-engine at an exact k-dp half (the r16 q9 replica find; the
+    two MV rollups carried the same pattern and were fixed to
+    CAST(round(sum, k) AS DOUBLE) in lockstep with their oracles).
+    Any new site of the pattern fails here."""
+    from tools.audit_rounding import float_image_rounds
+
+    hits = float_image_rounds()
+    assert not hits, (
+        f"round-over-double-image-of-decimal-sum sites found: {hits} "
+        f"— round the exact decimal first, then cast (q9 convention)"
+    )

@@ -3,8 +3,6 @@ oracle, and keeps its scale-critical plan shape."""
 
 from __future__ import annotations
 
-import pytest
-
 from tests.conftest import oracle_compare
 
 import __spark_entry__ as entrymod
@@ -17,13 +15,19 @@ from hdsp_hive_release_src_spark.plans import (
 
 registry.load_all()
 
-TPCH = [n for n in registry.ORACLES]
-
-
-@pytest.mark.parametrize("name", TPCH)
-def test_oracle_parity(name, spark, sf_dir, duck):
-    df = registry.QUERIES[name](spark, sf_dir)
-    oracle_compare(df, duck, registry.ORACLES[name])
+# r17 (r16 verdict item 1 — the suite outgrew the driver's pytest
+# window): the full-registry parity parametrization that lived here
+# duplicated tests/test_all_oracles.py::test_oracle_parity_all, which
+# runs a strict SUPERSET of the same check on every registered query
+# (same oracle_compare, plus the non-empty-at-smoke and
+# pandas-survival assertions, plus coverage of oracle-less names).
+# 494 duplicate Spark+DuckDB executions ≈ 6-9 min of suite time for
+# zero added coverage. The representative single-name smoke below
+# keeps this module self-contained when run alone; the plan-shape
+# tests that are this file's real subject are untouched.
+def test_oracle_parity_smoke(spark, sf_dir, duck):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    oracle_compare(df, duck, registry.ORACLES["q1_pricing_summary"])
 
 
 def test_entry_smoke(spark):

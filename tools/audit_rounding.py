@@ -158,6 +158,39 @@ def verify_grid_cols(sf_dir: str) -> None:
             assert off == 0, f"{t}.{c} is not on the 2dp grid"
 
 
+# r17 (r16 verdict item 8): the q9/dsir half-boundary class made a
+# registry-wide CONVENTION — "round on the exact representation,
+# never the float image". This scan flags the landmine pattern
+# round(CAST(sum(<decimal>) AS DOUBLE), k): the decimal sum is exact
+# in both engines, but its nearest-double image can sit on an exact
+# k-dp half where the two engines' double rounding diverges (the r16
+# q9 replica find). The safe form is CAST(round(sum(...), k) AS
+# DOUBLE). Integer sums cast to double are exact (within 2^53) and
+# exempt; divisions/products are the standing float-class (order
+# fuzz), not this pattern.
+_FLOAT_IMAGE_RE = re.compile(
+    r"^cast\s*\(\s*sum\s*\(.*\)\s*as\s+double\s*\)$", re.DOTALL
+)
+
+
+def float_image_rounds() -> dict[str, list[str]]:
+    from hdsp_hive_release_src_spark import registry
+
+    registry.load_all()
+    hits: dict[str, list[str]] = {}
+    for name, sql in registry.ORACLES.items():
+        for site in round_sites(sql):
+            # strip the rounding-digits argument (top-level ", k")
+            expr = re.sub(r",\s*\d+\s*$", "", site)
+            low = " ".join(expr.lower().split())
+            if not _FLOAT_IMAGE_RE.match(low):
+                continue
+            if re.search(r"as\s+(big)?int", low):
+                continue  # integer sum — exact under the double cast
+            hits.setdefault(name, []).append(low[:160])
+    return hits
+
+
 def static_inventory() -> dict[str, dict]:
     from hdsp_hive_release_src_spark import registry
 
@@ -314,6 +347,8 @@ def main() -> None:
     )
     drift = dtype_drift_scan(sf_dir)
     print(f"dtype drift scan: {drift or 'clean'}", file=sys.stderr)
+    fi = float_image_rounds()
+    print(f"float-image rounds: {fi or 'clean'}", file=sys.stderr)
     fuzz = order_fuzz(fuzz_set, sf_dir)
     for n, r in fuzz.items():
         inv[n]["fuzz"] = r
@@ -328,6 +363,7 @@ def main() -> None:
         ),
         "float_class": float_qs,
         "dtype_drift": drift,
+        "float_image_rounds": fi,
         "inventory": inv,
     }
     path = REPO / "tools" / "ROUNDING_AUDIT.json"
