@@ -130,12 +130,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard ≥ 0.5 near-dup pairs over the documents table — see
-    ``jaccard_pairs_from_docs`` for the algorithm and scale notes."""
+def _jaccard_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSORTED Jaccard ≥ 0.5 near-dup pairs (d1, d2, jaccard) — the
+    form for order-insensitive consumers. r17 (guide §2.4: "an
+    orderBy used only to make output deterministic" is an accidental
+    exchange): dedup_components / dedup_keep_best feed the pair set
+    into a checkpoint, and quality_filter_pipeline into a distinct —
+    none of them needs the declared output order, yet all were
+    materializing the range-exchange + global sort that only the
+    pair-listing query's contract requires."""
     return jaccard_pairs_from_docs(
-        _parallel_docs(spark, sf_dir), max_shingle_df=MAX_SHINGLE_DF
+        _parallel_docs(spark, sf_dir),
+        max_shingle_df=MAX_SHINGLE_DF,
+        sort_output=False,
     )
+
+
+def _jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ≥ 0.5 near-dup pairs over the documents table, in the
+    declared (d1, d2) output order — see ``jaccard_pairs_from_docs``
+    for the algorithm and scale notes."""
+    return _jaccard_pair_edges(spark, sf_dir).orderBy("d1", "d2")
 
 
 # Band-bucket size cap for the LSH/SimHash pair generators. A band
@@ -263,7 +278,9 @@ def shingle_pair_counts(
 
 
 def jaccard_pairs_from_docs(
-    d: DataFrame, max_shingle_df: int = 1000
+    d: DataFrame,
+    max_shingle_df: int = 1000,
+    sort_output: bool = True,
 ) -> DataFrame:
     """Shared-shingle inverted index → candidate pairs → exact Jaccard.
 
@@ -312,11 +329,12 @@ def jaccard_pairs_from_docs(
     """
     pairs = shingle_pair_counts(d, max_shingle_df, min_jaccard=0.5)
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        pairs.where(jac >= 0.5)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .orderBy("d1", "d2")
+    out = pairs.where(jac >= 0.5).select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
     )
+    # sort_output=False is the order-insensitive-consumer form (see
+    # _jaccard_pair_edges): same rows, no output range exchange
+    return out.orderBy("d1", "d2") if sort_output else out
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)

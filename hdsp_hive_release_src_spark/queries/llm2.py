@@ -26,7 +26,7 @@ from hdsp_hive_release_src_spark.functions.vectors import (
 from hdsp_hive_release_src_spark.queries.llm import (
     _DUCK_SH_CAPPED,
     _DUCK_SHINGLES,
-    _jaccard_pairs_exact,
+    _jaccard_pair_edges,
     _parallel_docs,
 )
 from hdsp_hive_release_src_spark.registry import query
@@ -246,7 +246,9 @@ def near_dup_component_labels(
     as label_propagation_component_labels and the two are
     lockstep-equal by tests/test_components_star.py. Shared by
     dedup_components and dedup_keep_best."""
-    pairs = _jaccard_pairs_exact(spark, sf_dir).select("d1", "d2")
+    # r17: unsorted pair form — the checkpoint/union consumers are
+    # order-insensitive; the sorted form paid a range exchange
+    pairs = _jaccard_pair_edges(spark, sf_dir).select("d1", "d2")
     return connected_components_star(pairs, "d1", "d2")
 
 
@@ -257,7 +259,9 @@ def label_propagation_component_labels(
     independent reference implementation for the star operator's
     lockstep test: each round is one join + one min-agg, converging in
     O(component diameter) rounds (near-dup clusters are shallow)."""
-    pairs = _jaccard_pairs_exact(spark, sf_dir).select("d1", "d2")
+    # r17: unsorted pair form — the checkpoint/union consumers are
+    # order-insensitive; the sorted form paid a range exchange
+    pairs = _jaccard_pair_edges(spark, sf_dir).select("d1", "d2")
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .unionByName(

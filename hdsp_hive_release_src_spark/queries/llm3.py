@@ -19,7 +19,7 @@ from hdsp_hive_release_src_spark.catalog import Catalog
 from hdsp_hive_release_src_spark.queries.llm import (
     _DUCK_SH_CAPPED,
     _DUCK_SHINGLES,
-    _jaccard_pairs_exact,
+    _jaccard_pair_edges,
 )
 from hdsp_hive_release_src_spark.registry import query
 
@@ -163,7 +163,8 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = d.select("doc_id", "lang", ok.alias("ok"))
     dups = (
-        _jaccard_pairs_exact(spark, sf_dir)
+        # r17: unsorted form — feeds a distinct, order-insensitive
+        _jaccard_pair_edges(spark, sf_dir)
         .select(F.col("d2").alias("dup_id"))
         .distinct()
     )

@@ -159,8 +159,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic at scale; checkpoints keep the same single-build
     lifecycle (and the same 2 executed corpus scans, pinned in
     tests/test_scan_counts.py) with block reads instead of files.
-    Measured at the 10× replica (count-timed, bench protocol,
-    interleaved): best 2.58 s → 1.93 s (~25%)."""
+    Measured at the 10× replica (count-timed, clearCache between
+    shots, fresh process per variant, 3 interleaved rounds of
+    best-of-4): old bests 3.263/3.314/2.901 s → new bests
+    2.200/2.464/2.480 s (~25%), identical 93,800 rows every shot."""
     from hdsp_hive_release_src_spark.operators.materialize import (
         checkpoint_reduced,
         defer_release,

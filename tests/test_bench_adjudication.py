@@ -207,9 +207,12 @@ class TestTruncationProofSummary:
         from pathlib import Path
 
         src = (Path(__file__).parent.parent / "bench.py").read_text()
+        # r17: the record is printed through _bound_record, which
+        # prunes bulk diagnostics IN PLACE (dict order preserved, no
+        # key ever appended) — summary stays the last key
         m = re.search(
             r'out\["summary"\] = _summary\(out\)\s*\n\s*'
-            r"print\(json\.dumps\(out\)\)",
+            r"print\(json\.dumps\(_bound_record\(out\)\)\)",
             src,
         )
         assert m, "summary must be assigned immediately before print"

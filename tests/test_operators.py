@@ -308,3 +308,62 @@ def test_mv_resolver_avg_requires_measure_counts(spark):
         "a": (4.0, 3), "b": (5.0, 1)
     }
     spark.sql("DROP TABLE IF EXISTS mv_nulls_partials")
+
+
+def test_jaccard_size_filter_is_exact_at_the_threshold(spark):
+    """r17: the min_jaccard size filter (min(n1,n2) >= t*max) must be
+    invisible in the output — it may only drop pairs that can never
+    reach J >= 0.5. Three constructed regimes:
+
+    * boundary KEPT: two docs with n1=6, n2=12 trigram sets sharing
+      exactly 6 shingles -> J = 6/(6+12-6) = 0.5, sizes exactly at
+      2*min == max — the filter must keep it (strictly-less drops
+      only);
+    * disparate DROPPED-but-irrelevant: n2 > 2*n1 pairs share
+      shingles but J < 0.5 by size math alone — absent from BOTH the
+      filtered output and a brute-force model;
+    * the whole output equals an independent brute-force Jaccard over
+      the same shingle sets (filter on/off paths converge)."""
+    from hdsp_hive_release_src_spark.queries.llm import (
+        jaccard_pairs_from_docs,
+        shingle_pair_counts,
+    )
+
+    # doc 1: 8 words -> 6 trigrams; doc 2: doc 1's words + 6 more
+    # words -> 12 trigrams, sharing exactly doc 1's 6 (the seam
+    # trigrams differ because the continuation starts new words)
+    d1 = "a b c d e f g h"
+    d2 = d1 + " p q r s t u"
+    # doc 3 shares d1's prefix but is >2x d1's size -> size math
+    # alone puts J below 0.5 whatever the overlap
+    d3 = d1 + " p q r s t u v w x y z aa bb cc"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = jaccard_pairs_from_docs(docs).collect()
+    got = {(r.d1, r.d2): r.jaccard for r in rows}
+    # brute-force model (plain python, no Spark)
+    def shingles(t):
+        ws = t.split()
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+    expect = {}
+    texts = {1: d1, 2: d2, 3: d3}
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    # the boundary pair (1,2) is exactly J=0.5 at 2*min==max: present
+    assert got.get((1, 2)) == 0.5
+    # n1/n2 recovery through max(): equals true shingle-set sizes
+    prs = {
+        (r.d1, r.d2): (r.n1, r.n2)
+        for r in shingle_pair_counts(docs, 1000).collect()
+    }
+    assert prs[(1, 2)] == (6, 12)

@@ -82,3 +82,55 @@ def test_tool_import_does_not_mutate_keep_plan_env():
     finally:
         if saved is not None:
             os.environ["SPARK_GRAFT_KEEP_PLAN"] = saved
+
+
+def test_cache_read_repeats_are_opaque_but_joins_above_still_flag():
+    """r17: the cache-build plan EXPLAIN prints under every
+    InMemoryTableScan executes once, so its operators must not leak
+    into ancestor fingerprints (a repeated cheap cache-read chain
+    false-flagged as 'expensive' when the printed build plan held a
+    join — first hit by the r17 persist-tier materializations). A
+    repeated join ABOVE the cache leaves must still flag."""
+
+    def tree(plan: str):
+        root = _parse(_tree_lines(plan), _details(plan))
+        _fingerprint(root)
+        return _flag(root)
+
+    # two identical Sort->Exchange chains over a cache whose printed
+    # build plan contains a join: must NOT flag
+    benign = """== Physical Plan ==
+Union (9)
+:- Sort (4)
+:  +- Exchange (3)
+:     +- InMemoryTableScan (1)
+:           +- InMemoryRelation (2)
+:                 +- SortMergeJoin Inner (8)
+:                    :- Scan parquet (6)
+:                    +- Scan parquet (7)
++- Sort (4)
+   +- Exchange (3)
+      +- InMemoryTableScan (1)
+            +- InMemoryRelation (2)
+                  +- SortMergeJoin Inner (8)
+                     :- Scan parquet (6)
+                     +- Scan parquet (7)
+
+"""
+    assert tree(benign) == []
+    # two identical joins OF cache reads: the join sits above the
+    # truncation point and must flag
+    guilty = """== Physical Plan ==
+Union (9)
+:- HashAggregate (5)
+:  +- SortMergeJoin Inner (4)
+:     :- InMemoryTableScan (1)
+:     +- InMemoryTableScan (2)
++- HashAggregate (5)
+   +- SortMergeJoin Inner (4)
+      :- InMemoryTableScan (1)
+      +- InMemoryTableScan (2)
+
+"""
+    hits = tree(guilty)
+    assert hits and hits[0]["occurrences"] == 2

@@ -150,6 +150,22 @@ def _parse(lines: list[str], details: dict[str, str]) -> _Node | None:
 
 
 def _fingerprint(node: _Node) -> None:
+    # r17: Reused*/InMemory* nodes fingerprint as OPAQUE LEAVES — the
+    # cache-build plan EXPLAIN prints under every InMemoryTableScan
+    # executes once however many reads display it (the exemption
+    # _flag already applies when DESCENDING), so its operators must
+    # not leak into ANCESTOR fingerprints either. Before this, a
+    # cheap repeated cache-read chain (Sort/Exchange over an
+    # InMemoryTableScan whose printed build plan contains a join)
+    # classified "expensive" and false-flagged — first hit by the r17
+    # persist-tier materializations (semantic_dedup members,
+    # pagerank contrib). A genuinely re-executed join ABOVE caches
+    # still flags: its Join node sits above the truncation point.
+    if _REUSE.search(node.op):
+        node.fp = node.op + "{}[]"
+        node.size = 1
+        node.children = []
+        return
     for c in node.children:
         _fingerprint(c)
         node.size += c.size
