@@ -103,41 +103,29 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the degree join re-executed per round (3x in the final plan);
     # one edge-sized checkpoint computes it once — which is what
     # "computed once and reused every round" must mean physically.
-    # r17 (guide §2.4 — operations keyed the same way share one
-    # exchange): contrib is hash-partitioned AND sorted on the join
-    # key, then PERSISTED (not localCheckpoint-ed: a LogicalRDD leaf
-    # drops the physical outputPartitioning/outputOrdering — verified
-    # on this build — while InMemoryTableScan reports the cached
-    # plan's, so only the persist form lets the three rounds' joins
-    # read the blocks in place). The r16 plan re-exchanged AND
-    # re-sorted contrib every round (3 src-exchanges of the edge
-    # list, zero ReusedExchange); one pre-persist shuffle now
-    # replaces all three, and each round's rank side arrives
-    # co-partitioned from the previous round's dst-aggregation — one
-    # exchange per round instead of three. This is the "co-partition
-    # with edges" arm of the scale note above, made physical.
-    # Lineage below the persist is the pairs checkpoint, so a lost
-    # block recomputes from edge-sized data, never from parquet; the
-    # cache is released at the next query boundary (r16 lifecycle).
-    from hdsp_hive_release_src_spark.operators.materialize import (
-        defer_release,
-    )
-
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # r17 audit (r16 verdict item 4, guide §2.4): the per-round plan
+    # re-exchanges + re-sorts this checkpoint on src in EVERY round
+    # (3 src-exchanges, zero ReusedExchange — a LogicalRDD leaf drops
+    # outputPartitioning, verified on this build). The co-partitioned
+    # alternative — repartition(src) + sortWithinPartitions + eager
+    # PERSIST, whose InMemoryTableScan keeps partitioning/ordering
+    # and lets all three rounds ride one exchange (or broadcast the
+    # statically-sized cache) — was implemented and measured: plans
+    # confirmed the exchanges/sorts gone
+    # (plans/r17/pagerank_trade_graph_after.txt), but 8 interleaved
+    # fresh-process A/B rounds at the 10× replica read FLAT to ~5%
+    # WORSE (old bests mean 1.51 s vs 1.61 s): the query is
+    # scan-bound (the pairs build alone is 0.98 s of ~1.5 s) and the
+    # graph tiny (2,381 pairs), so the per-round exchange savings are
+    # smaller than the added broadcast builds + eager-materialization
+    # job. Kept in the r16 checkpoint shape as the measured best at
+    # this scale; the persist form is the documented re-plan for the
+    # large-edge-list regime where the rounds dominate the scan.
     contrib = (
         edges.join(outd, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
-        .repartition(n_shuffle, "src")
-        .sortWithinPartitions("src")
-        .persist()
+        .localCheckpoint()
     )
-    defer_release(lambda: contrib.unpersist(blocking=False))
-    # materialize NOW (edge-sized job — the build ran at this point in
-    # the checkpoint form too): a lazy cache under AQE reports unknown
-    # partitioning until its adaptive plan finalizes, so the rounds
-    # would plan defensive exchanges anyway; counting first makes the
-    # cached partitioning statically visible to every round's planner.
-    contrib.count()
     ranks = edges.select(F.col("src").alias("n")).distinct().select(
         "n", F.lit(1.0).alias("rank")
     )

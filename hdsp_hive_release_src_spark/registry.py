@@ -105,13 +105,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "minhash_estimate_accuracy",
     "semantic_dedup",
-    # r17: the fixed contribution-edge table is now hash-partitioned
-    # + sorted on the join key and PERSISTED eagerly (stats + physical
-    # partitioning visible to every round's planner) instead of
-    # localCheckpoint-ed — the three rounds stop re-exchanging and
-    # re-sorting the edge list (queries/graph.py comment); values
-    # proven identical against the oracle at sf0.01/sf0.1.
-    "pagerank_trade_graph",
+    # (pagerank_trade_graph was audited this round — its per-round
+    # contrib exchanges were re-planned as a co-partitioned persist,
+    # MEASURED flat-to-worse at replica scale, and the r16 checkpoint
+    # shape kept: graph.py comment. Final plan unchanged from r16, so
+    # it does not re-certify.)
     # r17 (verdict item 8): both MV rollups rounded the DOUBLE image
     # of an exact decimal revenue sum — the q9 half-boundary class,
     # caught by the audit's new float-image scan; engine and oracle
